@@ -1,0 +1,105 @@
+"""Window attention with relative position bias — XLA reference path.
+
+This is the always-correct baseline implementation every Pallas kernel is
+tested against (SURVEY.md §7.6). It covers:
+
+- square window MSA with RPB and optional shift mask (classic HAT / SwinIR
+  structure, ref: basicsr/archs/swinir_arch.py:95-192) and ESC's
+  WindowAttention (ref: hat/archs/esc_arch.py:162-253);
+- rectangular OCAB attention: Nq=ws^2 queries vs Nk=ow^2 overlapping keys
+  with a gathered RPB (ref: hat/archs/hat_arch.py:326-393).
+
+Layout: heads are folded into the batch-of-windows dimension; matmuls are
+(N, d) x (d, M) per window — XLA batches them onto the MXU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def relative_position_index_sa(window_size: int) -> np.ndarray:
+    """Swin-style relative position index, (ws^2, ws^2) int32
+    (ref: hat_arch.py:770-781)."""
+    coords = np.stack(np.meshgrid(np.arange(window_size), np.arange(window_size),
+                                  indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += window_size - 1
+    rel[:, :, 1] += window_size - 1
+    rel[:, :, 0] *= 2 * window_size - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def relative_position_index_oca(window_size: int, overlap_ratio: float) -> np.ndarray:
+    """OCAB q-vs-overlap-window relative index, (ws^2, ow^2) int32
+    (ref: hat_arch.py:783-803)."""
+    ws = window_size
+    we = ws + int(overlap_ratio * ws)
+    coords_ori = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat_ori = coords_ori.reshape(2, -1)
+    coords_ext = np.stack(np.meshgrid(np.arange(we), np.arange(we), indexing="ij"))
+    flat_ext = coords_ext.reshape(2, -1)
+    rel = flat_ext[:, None, :] - flat_ori[:, :, None]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - we + 1
+    rel[:, :, 1] += ws - we + 1
+    rel[:, :, 0] *= ws + we - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def shift_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.ndarray:
+    """(nW, ws^2, ws^2) additive mask of 0 / -100 for shifted windows
+    (ref: hat_arch.py:805-818). Computed statically at trace time."""
+    img_mask = np.zeros((h, w))
+    slices = (slice(0, -window_size), slice(-window_size, -shift_size),
+              slice(-shift_size, None))
+    cnt = 0
+    for hs in slices:
+        for ws_ in slices:
+            img_mask[hs, ws_] = cnt
+            cnt += 1
+    nh, nw = h // window_size, w // window_size
+    mw = img_mask.reshape(nh, window_size, nw, window_size)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def attention_with_bias(q, k, v, bias, scale=None, precision=None):
+    """softmax(q k^T * scale + bias) v.
+
+    Args:
+      q: (..., Nq, d); k, v: (..., Nk, d)
+      bias: broadcastable to (..., Nq, Nk) — RPB (+ optional shift mask).
+      scale: defaults to d**-0.5.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    attn = jnp.einsum("...qd,...kd->...qk", q * scale, k, precision=precision)
+    attn = attn + bias
+    attn = jnp.exp(attn - attn.max(axis=-1, keepdims=True))
+    attn = attn / attn.sum(axis=-1, keepdims=True)
+    return jnp.einsum("...qk,...kd->...qd", attn, v, precision=precision)
+
+
+def window_msa(qkv_windows, num_heads: int, bias, scale=None, precision=None):
+    """Multi-head window attention over batched windows.
+
+    Args:
+      qkv_windows: (3, B*nW, N, C)
+      bias: (num_heads, N, N) or (B*nW//B? ...) broadcastable to
+        (B*nW, num_heads, N, N).
+    Returns:
+      (B*nW, N, C)
+    """
+    _, bw, n, c = qkv_windows.shape
+    d = c // num_heads
+    qkv = qkv_windows.reshape(3, bw, n, num_heads, d).transpose(0, 1, 3, 2, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    out = attention_with_bias(q, k, v, bias, scale=scale, precision=precision)
+    return out.transpose(0, 2, 1, 3).reshape(bw, n, c)

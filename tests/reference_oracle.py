@@ -1,0 +1,139 @@
+"""Import the mounted PyTorch reference (/root/reference) as a golden oracle.
+
+The reference is used ONLY as a numerical oracle in tests — we run its
+modules to produce expected outputs and compare against our TPU-native
+implementations. Nothing is copied from it.
+
+The environment lacks torchvision/timm, which the reference imports at
+module scope; minimal stubs are installed so the import graph resolves.
+Modules that would actually *use* those libraries (VGG perceptual loss,
+HiT-SRF) are exercised only where the stub suffices.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = "/root/reference/HAT"
+REF_BASICSR = "/root/reference/HAT/ESC"
+
+_installed = False
+
+
+def _make_mod(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    m.__path__ = []  # mark as package so submodule imports resolve
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_stubs() -> None:
+    global _installed
+    if _installed:
+        return
+    import torch
+
+    tv = _make_mod("torchvision")
+    tvu = _make_mod("torchvision.utils", make_grid=lambda *a, **k: None)
+    vgg_stub = _make_mod("torchvision.models.vgg")
+    tvm = _make_mod("torchvision.models", vgg=vgg_stub)
+    tvt = _make_mod("torchvision.transforms")
+    tvtf = _make_mod("torchvision.transforms.functional",
+                     normalize=lambda *a, **k: None)
+    tvt.functional = tvtf
+    tv.utils, tv.models, tv.transforms = tvu, tvm, tvt
+
+    # timm.layers for hitsrf_arch: provide real tiny implementations.
+    timm = _make_mod("timm")
+    import torch.nn as nn
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(min=a * std, max=b * std)
+        return tensor
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            mask = keep + torch.rand((x.shape[0],) + (1,) * (x.ndim - 1),
+                                     dtype=x.dtype, device=x.device)
+            return x / keep * mask.floor_()
+
+    timm_layers = _make_mod("timm.layers", DropPath=DropPath,
+                            to_2tuple=to_2tuple, trunc_normal_=trunc_normal_)
+    timm.layers = timm_layers
+    _make_mod("timm.models")
+    sys.modules["timm.models.layers"] = timm_layers
+
+    # torch 2.13 dropped torch.nn.functional.rgb_to_grayscale
+    if not hasattr(torch.nn.functional, "rgb_to_grayscale"):
+        def rgb_to_grayscale(img, num_output_channels=1):
+            w = torch.tensor([0.299, 0.587, 0.114], dtype=img.dtype, device=img.device)
+            gray = (img * w.view(-1, 1, 1)).sum(-3, keepdim=True)
+            if num_output_channels > 1:
+                gray = gray.expand(*img.shape[:-3], num_output_channels, *img.shape[-2:])
+            return gray
+        torch.nn.functional.rgb_to_grayscale = rgb_to_grayscale
+
+    for p in (REF_BASICSR, REF_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    # Path-only package shims: the real basicsr/hat __init__ files eagerly
+    # auto-import every arch/dataset/model module (slow: tens of seconds,
+    # and hat/__init__ even hits a latent ImportError in
+    # imagenet_paired_dataset.py:10). Registering namespace-style packages
+    # lets tests import exactly the submodule under test.
+    shims = {
+        "basicsr": f"{REF_BASICSR}/basicsr",
+        "basicsr.archs": f"{REF_BASICSR}/basicsr/archs",
+        "basicsr.data": f"{REF_BASICSR}/basicsr/data",
+        "basicsr.models": f"{REF_BASICSR}/basicsr/models",
+        "basicsr.losses": f"{REF_BASICSR}/basicsr/losses",
+        "basicsr.metrics": f"{REF_BASICSR}/basicsr/metrics",
+        "hat": f"{REF_ROOT}/hat",
+        "hat.archs": f"{REF_ROOT}/hat/archs",
+        "hat.data": f"{REF_ROOT}/hat/data",
+        "hat.models": f"{REF_ROOT}/hat/models",
+    }
+    for name, path in shims.items():
+        m = types.ModuleType(name)
+        m.__path__ = [path]
+        sys.modules[name] = m
+    _installed = True
+
+
+def get_hat_arch():
+    install_stubs()
+    from hat.archs import hat_arch
+    return hat_arch
+
+
+def get_esc_arch():
+    install_stubs()
+    from hat.archs import esc_arch
+    return esc_arch
+
+
+def get_swinir_arch():
+    install_stubs()
+    from basicsr.archs import swinir_arch
+    return swinir_arch
+
+
+def get_basicsr():
+    install_stubs()
+    import basicsr
+    return basicsr
