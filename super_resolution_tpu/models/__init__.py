@@ -1,0 +1,33 @@
+"""Architecture registry + factory (ref: basicsr/archs/__init__.py:18-24).
+
+Networks are selected by the same YAML `type:` strings the reference uses;
+list-valued config entries are coerced to tuples (flax module fields must be
+hashable).
+"""
+
+from copy import deepcopy
+
+from super_resolution_tpu.utils.registry import ARCH_REGISTRY
+
+# registry side-effect imports
+from super_resolution_tpu.models import esc_arch  # noqa: F401
+from super_resolution_tpu.models import hat_arch  # noqa: F401
+from super_resolution_tpu.models import hat_classic_arch  # noqa: F401
+
+__all__ = ["build_network", "ARCH_REGISTRY"]
+
+# reference config keys that have no meaning for the flax modules
+_IGNORED_KEYS = {"attn_drop_rate", "drop_rate", "qkv_bias", "qk_scale", "ape",
+                 "use_checkpoint", "esc_use_dynamic", "patch_size"}
+
+
+def _tuplify(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def build_network(opt: dict):
+    opt = deepcopy(opt)
+    network_type = opt.pop("type")
+    cls = ARCH_REGISTRY.get(network_type)
+    kwargs = {k: _tuplify(v) for k, v in opt.items() if k not in _IGNORED_KEYS}
+    return cls(**kwargs)

@@ -1,0 +1,13 @@
+"""Runner factory (ref: basicsr/models/__init__.py)."""
+
+from copy import deepcopy
+
+from super_resolution_tpu.utils.registry import MODEL_REGISTRY
+
+from super_resolution_tpu.runtime import sr_model  # noqa: F401 registry
+
+
+def build_model(opt: dict):
+    model_type = opt["model_type"]
+    model = MODEL_REGISTRY.get(model_type)(deepcopy(opt))
+    return model

@@ -1,0 +1,262 @@
+"""SR runner layer — the L5 strategy objects driving networks.
+
+TPU-native replacement for the reference's model hierarchy
+(ref: basicsr/models/sr_model.py:14-279, hat/models/hat_model.py:13-186).
+Instead of stateful nn.Modules moved across devices, a runner holds a flax
+module + param pytrees and a cache of jit-compiled apply functions; all
+padding/tiling/ensembling is expressed as jax ops so entire images are
+processed without host round-trips.
+
+Runner names keep the reference's MODEL_REGISTRY strings (`model_type:
+HATModel` etc.) so the YAML configs drive this framework unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+from os import path as osp
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.metrics import calculate_metric
+from super_resolution_tpu.models import build_network
+from super_resolution_tpu.runtime.tile import tile_forward
+from super_resolution_tpu.utils import get_root_logger, imwrite, tensor2img
+from super_resolution_tpu.utils.registry import MODEL_REGISTRY
+
+
+@MODEL_REGISTRY.register()
+class SRModel:
+    """Single-network SR runner (inference/validation core).
+
+    Training members (optimizer/EMA/losses) are attached by the train
+    pipeline via setup_training (runtime/train_loop.py).
+    """
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.scale = opt.get("scale", 1)
+        self.is_train = opt.get("is_train", False)
+        self.logger = get_root_logger()
+        self.net_g = build_network(opt["network_g"])
+
+        self.params: Any = None
+        self.ema_params: Any = None
+        self._apply_cache: dict = {}
+        self.metric_results: dict = {}
+        self.best_metric_results: dict = {}
+
+        self._init_params()
+        load_path = self.opt["path"].get("pretrain_network_g")
+        if load_path:
+            param_key = self.opt["path"].get("param_key_g", "params")
+            self.load_network(load_path, param_key=param_key,
+                              strict=self.opt["path"].get("strict_load_g", True))
+
+    # ------------------------------------------------------------------ init
+    def _example_input(self):
+        ws = self.opt["network_g"].get("window_size", 8) or 8
+        return jnp.zeros((1, ws * 2, ws * 2, 3), jnp.float32)
+
+    def _init_params(self):
+        rng = jax.random.PRNGKey(self.opt.get("manual_seed") or 0)
+        variables = self.net_g.init(rng, self._example_input())
+        self.params = variables["params"]
+
+    def load_network(self, load_path: str, param_key: str = "params",
+                     strict: bool = True):
+        from super_resolution_tpu.convert import load_torch_checkpoint
+
+        self.logger.info(f"Loading {self.net_g.__class__.__name__} from "
+                         f"{load_path} (param_key={param_key})")
+        if load_path.endswith(".pth"):
+            self.params = load_torch_checkpoint(load_path, self.params,
+                                                param_key=param_key,
+                                                strict=strict)
+        else:  # orbax native checkpoint directory
+            from super_resolution_tpu.runtime.checkpoint import load_params
+            self.params = load_params(load_path, self.params, param_key)
+
+    # -------------------------------------------------------------- forward
+    def eval_params(self):
+        """EMA params if present, else raw params (net_g_ema preference,
+        ref: hat_model.py:30-37)."""
+        return self.ema_params if self.ema_params is not None else self.params
+
+    def _apply_fn(self) -> Callable:
+        if "apply" not in self._apply_cache:
+            net = self.net_g
+
+            @jax.jit
+            def fwd(params, x):
+                return net.apply({"params": params}, x)
+
+            self._apply_cache["apply"] = fwd
+        return self._apply_cache["apply"]
+
+    def feed_data(self, data: dict):
+        self.lq = jnp.asarray(data["lq"])
+        if "gt" in data:
+            self.gt = jnp.asarray(data["gt"])
+
+    def test(self):
+        self.output = self._apply_fn()(self.eval_params(), self.lq)
+
+    def test_selfensemble(self):
+        """x8 flip/rot TTA averaged in SR space (ref: sr_model.py:132-178),
+        expressed as one batched forward over the 8 geometric variants."""
+        x = self.lq
+
+        def tf(img, op):
+            if op == "v":
+                return img[:, :, ::-1, :]
+            if op == "h":
+                return img[:, ::-1, :, :]
+            return jnp.transpose(img, (0, 2, 1, 3))
+
+        variants = [x]
+        for op in ("v", "h", "t"):
+            variants.extend([tf(v, op) for v in variants])
+        fwd = self._apply_fn()
+        outs = [fwd(self.eval_params(), v) for v in variants]
+        # invert ops in reverse application order
+        for i in range(len(outs)):
+            if i > 3:
+                outs[i] = tf(outs[i], "t")
+            if i % 4 > 1:
+                outs[i] = tf(outs[i], "h")
+            if (i % 4) % 2 == 1:
+                outs[i] = tf(outs[i], "v")
+        self.output = jnp.mean(jnp.stack(outs), axis=0)
+
+    # ------------------------------------------------------------ validation
+    def get_current_visuals(self) -> dict:
+        out = {"lq": np.asarray(self.lq), "result": np.asarray(self.output)}
+        if hasattr(self, "gt"):
+            out["gt"] = np.asarray(self.gt)
+        return out
+
+    def validation(self, dataloader, current_iter, tb_logger=None,
+                   save_img: bool = False):
+        self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def _initialize_best_metric_results(self, dataset_name: str):
+        if dataset_name in self.best_metric_results:
+            return
+        record = {}
+        for metric, content in self.opt["val"]["metrics"].items():
+            better = content.get("better", "higher")
+            init_val = float("-inf") if better == "higher" else float("inf")
+            record[metric] = dict(better=better, val=init_val, iter=-1)
+        self.best_metric_results[dataset_name] = record
+
+    def _update_best_metric_result(self, dataset_name, metric, val, current_iter):
+        rec = self.best_metric_results[dataset_name][metric]
+        if ((rec["better"] == "higher" and val >= rec["val"])
+                or (rec["better"] == "lower" and val <= rec["val"])):
+            rec["val"] = val
+            rec["iter"] = current_iter
+
+    def _run_inference(self):
+        """Hook for subclasses (padding / tiling)."""
+        self.test()
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        dataset_name = dataloader.dataset.opt["name"]
+        with_metrics = self.opt.get("val", {}).get("metrics") is not None
+        if with_metrics:
+            self.metric_results = {m: 0 for m in self.opt["val"]["metrics"]}
+            self._initialize_best_metric_results(dataset_name)
+
+        metric_data = {}
+        idx = -1
+        for idx, val_data in enumerate(dataloader):
+            img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
+            self.feed_data(val_data)
+            self._run_inference()
+
+            visuals = self.get_current_visuals()
+            sr_img = tensor2img(visuals["result"])
+            metric_data["img"] = sr_img
+            if "gt" in visuals:
+                metric_data["img2"] = tensor2img(visuals["gt"])
+
+            if save_img:
+                if self.opt["is_train"]:
+                    save_path = osp.join(self.opt["path"]["visualization"],
+                                         img_name,
+                                         f"{img_name}_{current_iter}.png")
+                else:
+                    suffix = self.opt["val"].get("suffix") or self.opt["name"]
+                    save_path = osp.join(self.opt["path"]["visualization"],
+                                         dataset_name,
+                                         f"{img_name}_{suffix}.png")
+                imwrite(sr_img, save_path)
+
+            if with_metrics:
+                for name, opt_ in self.opt["val"]["metrics"].items():
+                    self.metric_results[name] += calculate_metric(metric_data, opt_)
+
+        if with_metrics and idx >= 0:
+            for metric in self.metric_results:
+                self.metric_results[metric] /= idx + 1
+                self._update_best_metric_result(dataset_name, metric,
+                                                self.metric_results[metric],
+                                                current_iter)
+            self._log_validation_metric_values(current_iter, dataset_name,
+                                               tb_logger)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
+        log_str = f"Validation {dataset_name}\n"
+        for metric, value in self.metric_results.items():
+            log_str += f"\t # {metric}: {value:.4f}"
+            if dataset_name in self.best_metric_results:
+                rec = self.best_metric_results[dataset_name][metric]
+                log_str += (f"\tBest: {rec['val']:.4f} @ {rec['iter']} iter")
+            log_str += "\n"
+        self.logger.info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f"metrics/{dataset_name}/{metric}", value,
+                                     current_iter)
+
+
+@MODEL_REGISTRY.register()
+class HATModel(SRModel):
+    """HAT runner: window-multiple padding + optional on-device tiled
+    inference (ref: hat/models/hat_model.py).
+
+    pre/post_process are folded into a single jitted pipeline: reflect-pad
+    to window multiple -> forward (whole image or batched tile grid) ->
+    crop. Tile mode runs the whole grid on device (runtime/tile.py) instead
+    of the reference's per-tile Python loop.
+    """
+
+    def window_size(self) -> int:
+        return self.opt["network_g"].get("window_size", 16)
+
+    def _run_inference(self):
+        ws = self.window_size()
+        _, h, w, _ = self.lq.shape
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        img = self.lq
+        if pad_h or pad_w:
+            img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                          mode="reflect")
+
+        if "tile" in self.opt:
+            tile_opt = self.opt["tile"]
+            fwd = self._apply_fn()
+            params = self.eval_params()
+            out = tile_forward(lambda t: fwd(params, t), img, self.scale,
+                               tile_opt["tile_size"], tile_opt["tile_pad"],
+                               chunk=tile_opt.get("chunk", 8))
+        else:
+            out = self._apply_fn()(self.eval_params(), img)
+        self.output = out[:, :h * self.scale, :w * self.scale, :]

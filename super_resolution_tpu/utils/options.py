@@ -25,6 +25,8 @@ def yaml_load(f: str) -> dict:
     if os.path.isfile(f):
         with open(f, "r") as fh:
             return yaml.safe_load(fh)
+    if f.endswith((".yml", ".yaml")) or os.sep in f:
+        raise FileNotFoundError(f"Option file not found: {f}")
     return yaml.safe_load(f)
 
 
