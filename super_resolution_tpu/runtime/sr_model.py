@@ -134,6 +134,97 @@ class SRModel:
                 outs[i] = tf(outs[i], "v")
         self.output = jnp.mean(jnp.stack(outs), axis=0)
 
+    # -------------------------------------------------------------- training
+    def setup_training(self, mesh=None):
+        """Wire the functional training core (train_loop.py) to this runner.
+
+        mesh: optional jax Mesh; the batch axis is sharded over 'data'
+        (the DDP analog). Without a mesh everything runs single-device.
+        """
+        from super_resolution_tpu.runtime.train_loop import (
+            build_optimizer, init_train_state, make_sr_train_step)
+
+        train_opt = self.opt["train"]
+        self.mesh = mesh
+        self.tx, self.lr_schedule = build_optimizer(train_opt)
+        self.ema_decay = train_opt.get("ema_decay", 0)
+        self.state = init_train_state(self.params, self.tx, self.ema_decay)
+        step_fn = make_sr_train_step(self.net_g, self.tx, train_opt)
+        if mesh is not None:
+            from super_resolution_tpu.parallel.mesh import batch_sharding, replicated
+
+            self._train_step = jax.jit(
+                step_fn,
+                in_shardings=(replicated(mesh),
+                              {"lq": batch_sharding(mesh),
+                               "gt": batch_sharding(mesh)},
+                              replicated(mesh)),
+                out_shardings=(replicated(mesh), replicated(mesh)))
+        else:
+            self._train_step = jax.jit(step_fn)
+        self._train_rng = jax.random.PRNGKey(
+            (self.opt.get("manual_seed") or 0) + 1)
+        self.log_dict = {}
+
+    def optimize_parameters(self, batch: dict, current_iter: int):
+        self._train_rng, rng = jax.random.split(self._train_rng)
+        data = {"lq": jnp.asarray(batch["lq"]), "gt": jnp.asarray(batch["gt"])}
+        if self.mesh is not None:
+            from super_resolution_tpu.parallel.mesh import shard_batch
+
+            data = shard_batch(data, self.mesh)
+        self.state, logs = self._train_step(self.state, data, rng)
+        # publish the trained params to the inference path
+        self.params = self.state.params
+        if self.ema_decay > 0:
+            self.ema_params = self.state.ema_params
+        self.log_dict = {k: float(v) for k, v in logs.items()}
+
+    def current_lrs(self, current_iter: int):
+        return [float(self.lr_schedule(current_iter))]
+
+    def save(self, epoch: int, current_iter: int):
+        """Checkpoint weights + trainer state (orbax; the reference's
+        net_g_{iter}.pth + {iter}.state pair becomes one directory)."""
+        from super_resolution_tpu.runtime.checkpoint import save_params
+
+        import numpy as np
+
+        tree = {"params": jax.tree.map(np.asarray, self.params),
+                "epoch": epoch, "iter": current_iter}
+        if self.ema_params is not None:
+            tree["params_ema"] = jax.tree.map(np.asarray, self.ema_params)
+        if getattr(self, "state", None) is not None:
+            tree["opt_state"] = jax.tree.map(
+                np.asarray, jax.tree.leaves(self.state.opt_state))
+        path = osp.join(self.opt["path"]["models"], f"net_g_{current_iter}")
+        save_params(path, tree)
+
+    def resume_training(self, resume_path: str):
+        from super_resolution_tpu.runtime.checkpoint import load_tree
+
+        tree = load_tree(resume_path)
+        self.params = jax.tree.map(jnp.asarray, tree["params"])
+        if "params_ema" in tree:
+            self.ema_params = jax.tree.map(jnp.asarray, tree["params_ema"])
+        if getattr(self, "state", None) is not None:
+            from super_resolution_tpu.runtime.train_loop import TrainState
+
+            opt_state = self.state.opt_state
+            if "opt_state" in tree:
+                leaves = [jnp.asarray(v) for v in tree["opt_state"]]
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(self.state.opt_state), leaves)
+            self.state = TrainState(
+                step=jnp.asarray(tree["iter"], jnp.int32),
+                params=self.params,
+                ema_params=self.ema_params if self.ema_decay > 0 else None,
+                opt_state=opt_state)
+        return int(tree["epoch"]), int(tree["iter"])
+
+    def get_current_log(self):
+        return dict(self.log_dict)
+
     # ------------------------------------------------------------ validation
     def get_current_visuals(self) -> dict:
         out = {"lq": np.asarray(self.lq), "result": np.asarray(self.output)}

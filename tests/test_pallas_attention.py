@@ -1,0 +1,59 @@
+"""Pallas fused window attention vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.ops.attention import attention_with_bias, window_msa
+from super_resolution_tpu.ops.pallas_attention import (fused_attention,
+                                                       window_attention_fused)
+
+
+@pytest.mark.parametrize("bw,heads,n,d", [(6, 2, 64, 16), (3, 4, 64, 32)])
+def test_fused_square_attention_matches_xla(rng, bw, heads, n, d):
+    q = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), dtype=np.float32))
+    ref = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
+    out = fused_attention(q, k, v, bias, block_windows=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_rectangular_attention_matches_xla(rng):
+    # OCAB shape: Nq = 8^2 = 64 queries vs Nk = 12^2 = 144 keys
+    bw, heads, nq, nk, d = 4, 2, 64, 144, 16
+    q = jnp.asarray(rng.standard_normal((bw, heads, nq, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, heads, nk, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, heads, nk, d), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, nq, nk), dtype=np.float32))
+    ref = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
+    out = fused_attention(q, k, v, bias, block_windows=3)  # forces padding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_window_attention_fused_wrapper_matches_window_msa(rng):
+    bw, n, c, heads = 5, 64, 48, 4
+    qkv = jnp.asarray(rng.standard_normal((3, bw, n, c), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), dtype=np.float32))
+    ref = window_msa(qkv, heads, bias)
+    out = window_attention_fused(qkv, heads, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_esc_with_pallas_backend_matches_xla(rng):
+    """Whole ESC net with attn_type='pallas' == 'xla' backend."""
+    from super_resolution_tpu.models.esc_arch import ESC
+
+    kw = dict(dim=32, pdim=16, kernel_size=5, n_blocks=1, conv_blocks=1,
+              window_size=8, num_heads=4, upscaling_factor=2, exp_ratio=1.0)
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    net_x = ESC(attn_type="xla", **kw)
+    variables = net_x.init(jax.random.PRNGKey(0), x)
+    net_p = ESC(attn_type="pallas", **kw)
+    ref = net_x.apply(variables, x)
+    out = net_p.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
