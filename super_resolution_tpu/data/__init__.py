@@ -19,6 +19,7 @@ import numpy as np
 from super_resolution_tpu.utils.registry import DATASET_REGISTRY
 
 from super_resolution_tpu.data import paired_dataset  # noqa: F401 registry
+from super_resolution_tpu.data import realesrgan_dataset  # noqa: F401 registry
 
 
 def build_dataset(dataset_opt: dict):

@@ -1,0 +1,63 @@
+"""Discriminators (ref: hat/archs/discriminator_arch.py:7-67).
+
+UNetDiscriminatorSN: Real-ESRGAN's U-Net discriminator with spectral
+normalization — conv0, 3 strided down convs, 3 up convs with skip
+connections, 2 refinement convs, 1-channel head; all inner convs spectrally
+normalized. flax.linen.SpectralNorm carries the power-iteration vectors in
+the 'batch_stats' collection (functional analog of torch's SN buffers).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from super_resolution_tpu.ops.degrade import resize_to
+from super_resolution_tpu.utils.registry import ARCH_REGISTRY
+
+
+def _upx2(x):
+    return resize_to(x, x.shape[1] * 2, x.shape[2] * 2, "bilinear")
+
+
+@ARCH_REGISTRY.register()
+class UNetDiscriminatorSN(nn.Module):
+    num_in_ch: int = 3
+    num_feat: int = 64
+    skip_connection: bool = True
+
+    @nn.compact
+    def __call__(self, x, update_sn_stats: bool = False):
+        def snconv(feats, k, stride, name):
+            p = (k - 1) // 2  # torch padding convention (k=4,s=2 -> p=1)
+            conv = nn.Conv(feats, (k, k), strides=(stride, stride),
+                           padding=[(p, p)] * 2, use_bias=True,
+                           name=name)
+            return nn.SpectralNorm(conv, collection_name="batch_stats")
+
+        lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.2)
+        update = update_sn_stats
+
+        nf = self.num_feat
+        x0 = lrelu(nn.Conv(nf, (3, 3), padding=[(1, 1), (1, 1)],
+                           name="conv0")(x))
+        x1 = lrelu(snconv(nf * 2, 4, 2, "conv1")(x0, update_stats=update))
+        x2 = lrelu(snconv(nf * 4, 4, 2, "conv2")(x1, update_stats=update))
+        x3 = lrelu(snconv(nf * 8, 4, 2, "conv3")(x2, update_stats=update))
+
+        x3u = _upx2(x3)
+        x4 = lrelu(snconv(nf * 4, 3, 1, "conv4")(x3u, update_stats=update))
+        if self.skip_connection:
+            x4 = x4 + x2
+        x4u = _upx2(x4)
+        x5 = lrelu(snconv(nf * 2, 3, 1, "conv5")(x4u, update_stats=update))
+        if self.skip_connection:
+            x5 = x5 + x1
+        x5u = _upx2(x5)
+        x6 = lrelu(snconv(nf, 3, 1, "conv6")(x5u, update_stats=update))
+        if self.skip_connection:
+            x6 = x6 + x0
+
+        out = lrelu(snconv(nf, 3, 1, "conv7")(x6, update_stats=update))
+        out = lrelu(snconv(nf, 3, 1, "conv8")(out, update_stats=update))
+        return nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], name="conv9")(out)
