@@ -117,7 +117,8 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: dict,
         unused = [k for k in state_dict
                   if k not in used and not k.endswith("num_batches_tracked")
                   and "relative_position_index" not in k
-                  and not k.endswith("attn_mask")]  # derived buffers
+                  and not k.endswith(("attn_mask", "init_pos",
+                                      "MetaUpsample"))]  # derived buffers
         if missing or unused:
             raise KeyError(f"convert_state_dict strict mismatch.\n"
                            f"  missing in torch: {missing[:10]}\n"

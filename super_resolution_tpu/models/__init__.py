@@ -15,6 +15,9 @@ from super_resolution_tpu.models import hat_arch  # noqa: F401
 from super_resolution_tpu.models import hat_classic_arch  # noqa: F401
 from super_resolution_tpu.models import discriminator_arch  # noqa: F401
 from super_resolution_tpu.models import swinir_arch  # noqa: F401
+from super_resolution_tpu.models import hatx_arch  # noqa: F401
+from super_resolution_tpu.models import esc_real_arch  # noqa: F401
+from super_resolution_tpu.models import esc_fp_arch  # noqa: F401
 
 __all__ = ["build_network", "ARCH_REGISTRY"]
 

@@ -71,6 +71,26 @@ def shifted_neighborhoods(x, k: int, mode: str = "zero"):
     return jnp.stack(taps, axis=3)
 
 
+def dynamic_depthwise_conv(x, kernels):
+    """Per-sample dynamic depthwise conv for arbitrary odd k (zero pad).
+
+    Args:
+      x: (B, H, W, C); kernels: (B, k, k, C).
+    Uses the batch-into-groups trick (one grouped conv with B*C groups) —
+    unlike the 3x3 shift-einsum, memory stays O(HWC) for large k.
+    """
+    b, h, w, c = x.shape
+    k = kernels.shape[1]
+    pad = k // 2
+    xg = x.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)
+    kg = kernels.transpose(1, 2, 0, 3).reshape(k, k, 1, b * c)
+    out = lax.conv_general_dilated(
+        xg, kg, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+
+
 def dynamic_depthwise_conv3x3(x, kernels):
     """Per-sample dynamic depthwise 3x3 conv (zero padding).
 

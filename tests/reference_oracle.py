@@ -77,6 +77,18 @@ def install_stubs() -> None:
     _make_mod("timm.models")
     sys.modules["timm.models.layers"] = timm_layers
 
+    # CPU-only environment: DySample passes pin_memory=True to torch.tensor
+    # (esc_real_arch.py:376) which requires an accelerator; strip it.
+    _orig_tensor = torch.tensor
+
+    def _tensor_no_pin(*args, **kwargs):
+        kwargs.pop("pin_memory", None)
+        return _orig_tensor(*args, **kwargs)
+
+    if not getattr(torch.tensor, "_no_pin_wrapper", False):
+        _tensor_no_pin._no_pin_wrapper = True
+        torch.tensor = _tensor_no_pin
+
     # torch 2.13 dropped torch.nn.functional.rgb_to_grayscale
     if not hasattr(torch.nn.functional, "rgb_to_grayscale"):
         def rgb_to_grayscale(img, num_output_channels=1):
