@@ -91,11 +91,11 @@ class UpsamplePixelShuffle(nn.Module):
         if (self.scale & (self.scale - 1)) == 0:
             n = int(math.log2(self.scale))
             self.convs = [nn.Conv(4 * self.num_feat, (3, 3), padding=[(1, 1), (1, 1)],
-                                  name=f"upsample_{2 * i}") for i in range(n)]
+                                  name=f"{2 * i}") for i in range(n)]
             self.shuffles = [2] * n
         elif self.scale == 3:
             self.convs = [nn.Conv(9 * self.num_feat, (3, 3), padding=[(1, 1), (1, 1)],
-                                  name="upsample_0")]
+                                  name="0")]
             self.shuffles = [3]
         else:
             raise ValueError(f"scale {self.scale} not supported (2^n and 3 only)")
