@@ -1,0 +1,171 @@
+"""ESRModel — the ESC training strategy (ref: HAT/ESC/esc/models/
+esr_model.py:20-410).
+
+Distinctive features rebuilt TPU-native:
+- bf16 mixed precision (`use_amp`): params+inputs cast to bfloat16 inside
+  the loss, gradients/optimizer state stay f32 — the TPU analog of CUDA
+  autocast+GradScaler (no loss scaling needed: bf16 has f32's exponent
+  range).
+- gradient clipping whose threshold halves after 50k iters (:203-210),
+  expressed inside the jitted step as a step-dependent clip.
+- Adam momentum reset every reset_momentum_iter (:155-159, cadence
+  :263-267): the optimizer state is re-initialized host-side.
+- MESA self-distillation (:85-90, 190-199): after start_ratio*total_iter,
+  adds a loss between the output and the (stop-gradient) EMA network's
+  output. Two step variants are compiled (with/without MESA), switched
+  host-side by iteration.
+- window-padded test + validation identical to HATModel.
+
+The reference also wires a `wave_opt` wavelet loss slot, but no such loss
+exists anywhere in its codebase (cri_wave can never be built); we reject
+the option explicitly instead of silently ignoring it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from super_resolution_tpu.losses import build_loss
+from super_resolution_tpu.runtime.sr_model import HATModel
+from super_resolution_tpu.utils.registry import MODEL_REGISTRY
+
+
+@MODEL_REGISTRY.register()
+class ESRModel(HATModel):
+
+    def setup_training(self, mesh=None):
+        from super_resolution_tpu.runtime.schedulers import build_schedule
+        from super_resolution_tpu.runtime.train_loop import (TrainState,
+                                                             init_train_state)
+
+        train_opt = self.opt["train"]
+        if train_opt.get("wave_opt"):
+            raise NotImplementedError(
+                "wave_opt: the reference registers no wavelet loss anywhere; "
+                "refusing to silently ignore it")
+        self.mesh = mesh
+        self.use_amp = self.opt.get("use_amp", False)
+        self.ema_decay = train_opt.get("ema_decay", 0)
+        self.gradient_clip = train_opt.get("gradient_clip")
+        self.reset_momentum_iter = train_opt.get("reset_momentum_iter")
+
+        self.cri_pix = (build_loss(train_opt["pixel_opt"])
+                        if train_opt.get("pixel_opt") else None)
+        self.cri_perceptual = (build_loss(train_opt["perceptual_opt"])
+                               if train_opt.get("perceptual_opt") else None)
+        if train_opt.get("mesa_opt"):
+            mesa_opt = dict(train_opt["mesa_opt"])
+            start_ratio = mesa_opt.pop("start_ratio", 0.33)
+            self.mesa_start_iter = int(start_ratio * train_opt["total_iter"])
+            self.cri_mesa = build_loss(mesa_opt)
+        else:
+            self.cri_mesa = None
+            self.mesa_start_iter = None
+        if self.cri_pix is None and self.cri_perceptual is None:
+            raise ValueError("Pixel and perceptual losses are both None.")
+
+        schedule = build_schedule(train_opt)
+        opt_g = dict(train_opt["optim_g"])
+        opt_g.pop("type", None)
+        betas = opt_g.pop("betas", (0.9, 0.999))
+        wd = opt_g.pop("weight_decay", 0.0)
+        opt_g.pop("lr", None)
+        adam = (optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+                if wd else optax.adam(schedule, b1=betas[0], b2=betas[1]))
+        self.tx = adam
+        self.lr_schedule = schedule
+        self.state = init_train_state(self.params, self.tx, self.ema_decay)
+        self._train_rng = jax.random.PRNGKey(
+            (self.opt.get("manual_seed") or 0) + 5)
+        self.log_dict = {}
+
+        net = self.net_g
+        cri_pix, cri_percep, cri_mesa = (self.cri_pix, self.cri_perceptual,
+                                         self.cri_mesa)
+        use_amp, clip, ema_decay = self.use_amp, self.gradient_clip, self.ema_decay
+        tx = self.tx
+
+        def loss_fn(params, ema_params, batch, use_mesa: bool):
+            p = params
+            lq = batch["lq"]
+            if use_amp:
+                p = jax.tree.map(lambda v: v.astype(jnp.bfloat16), p)
+                lq = lq.astype(jnp.bfloat16)
+            sr = net.apply({"params": p}, lq).astype(jnp.float32)
+            logs = {}
+            total = 0.0
+            if cri_pix is not None:
+                l_pix = cri_pix(sr, batch["gt"])
+                total += l_pix
+                logs["l_pix"] = l_pix
+            if cri_percep is not None:
+                l_p, l_s = cri_percep(sr, batch["gt"])
+                if l_p is not None:
+                    total += l_p
+                    logs["l_percep"] = l_p
+                if l_s is not None:
+                    total += l_s
+                    logs["l_style"] = l_s
+            if use_mesa and cri_mesa is not None:
+                ema_out = net.apply({"params": ema_params}, batch["lq"])
+                l_mesa = cri_mesa(sr, jax.lax.stop_gradient(ema_out))
+                total += l_mesa
+                logs["l_mesa"] = l_mesa
+            return total, logs
+
+        def make_step(use_mesa: bool):
+            def step(state, batch):
+                from super_resolution_tpu.runtime.train_loop import TrainState
+
+                (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.ema_params, batch, use_mesa)
+                if clip is not None:
+                    # threshold halves after 50k iters (ref: :203-210)
+                    cv = jnp.where(state.step > 50000, clip / 2.0, clip)
+                    gnorm = optax.global_norm(grads)
+                    factor = jnp.minimum(1.0, cv / (gnorm + 1e-12))
+                    grads = jax.tree.map(lambda g: g * factor, grads)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                if ema_decay > 0:
+                    ema = jax.tree.map(
+                        lambda e, q: e * ema_decay + q * (1 - ema_decay),
+                        state.ema_params, params)
+                else:
+                    ema = state.ema_params
+                return TrainState(step=state.step + 1, params=params,
+                                  ema_params=ema, opt_state=opt_state), logs
+            return jax.jit(step)
+
+        self._step_plain = make_step(False)
+        self._step_mesa = make_step(True) if self.cri_mesa else None
+
+    def optimize_parameters(self, batch: dict, current_iter: int):
+        from super_resolution_tpu.runtime.train_loop import TrainState
+
+        data = {"lq": jnp.asarray(batch["lq"]), "gt": jnp.asarray(batch["gt"])}
+        use_mesa = (self._step_mesa is not None
+                    and current_iter >= self.mesa_start_iter)
+        step = self._step_mesa if use_mesa else self._step_plain
+        self.state, logs = step(self.state, data)
+        self.params = self.state.params
+        if self.ema_decay > 0:
+            self.ema_params = self.state.ema_params
+        self.log_dict = {k: float(v) for k, v in logs.items()}
+        if not use_mesa and self.cri_mesa is not None:
+            self.log_dict["l_mesa"] = 0.0
+
+        if (self.reset_momentum_iter
+                and current_iter % self.reset_momentum_iter == 0):
+            self.logger.info(f"Reset momentums for net_g at iteration "
+                             f"{current_iter}")
+            # zero Adam's step/exp_avg/exp_avg_sq (ref: :155-159)
+            self.state = TrainState(
+                step=self.state.step, params=self.state.params,
+                ema_params=self.state.ema_params,
+                opt_state=self.tx.init(self.state.params))

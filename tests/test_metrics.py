@@ -83,3 +83,21 @@ def test_psnr_identical_images(imgs):
     a, _ = imgs
     assert calculate_psnr(a, a, crop_border=0) == float("inf")
     assert calculate_ssim(a, a, crop_border=0) == pytest.approx(1.0)
+
+
+def test_niqe_matches_reference():
+    from reference_oracle import install_stubs
+    install_stubs()
+    from basicsr.metrics.niqe import calculate_niqe as ref_niqe
+
+    from super_resolution_tpu.metrics.niqe import calculate_niqe
+
+    # structured synthetic image (pure noise can hit degenerate AGGD fits)
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:224, 0:256]
+    img = (np.sin(xx / 9.0) * 80 + np.cos(yy / 13.0) * 60 + 120
+           + rng.normal(0, 12, (224, 256)))
+    img = np.clip(img, 0, 255)[:, :, None].repeat(3, axis=2).astype(np.float32)
+    ours = calculate_niqe(img, crop_border=0)
+    ref = ref_niqe(img, crop_border=0)
+    assert ours == pytest.approx(ref, abs=1e-4)

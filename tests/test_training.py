@@ -196,3 +196,45 @@ def test_train_pipeline_smoke(synth_train_data, tmp_path):
     opt2["auto_resume"] = True
     model2, _ = run_train(opt2)
     assert int(model2.state.step) >= 6
+
+
+def test_esr_model_training(rng, tmp_path):
+    """ESRModel: bf16 AMP + MESA + momentum reset + clip halving, loss
+    finite and decreasing."""
+    from super_resolution_tpu.runtime import build_model
+    from super_resolution_tpu.utils.options import process_options
+
+    opt = {
+        "name": "esr_smoke", "model_type": "ESRModel", "scale": 2,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True, "use_amp": True,
+        "network_g": {"type": "ESC", "dim": 16, "pdim": 8, "kernel_size": 5,
+                      "n_blocks": 1, "conv_blocks": 1, "window_size": 8,
+                      "num_heads": 2, "upscaling_factor": 2, "exp_ratio": 1.0},
+        "datasets": {},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [1000],
+                          "gamma": 0.5},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
+                          "reduction": "mean"},
+            "mesa_opt": {"type": "L1Loss", "loss_weight": 0.5,
+                         "reduction": "mean", "start_ratio": 0.3},
+            "ema_decay": 0.99, "total_iter": 10, "warmup_iter": -1,
+            "gradient_clip": 1.0, "reset_momentum_iter": 4,
+        },
+        "path": {"pretrain_network_g": None},
+    }
+    opt = process_options(opt, str(tmp_path), is_train=True)
+    model = build_model(opt)
+    model.setup_training()
+    lq = rng.random((2, 16, 16, 3), dtype=np.float32)
+    gt = rng.random((2, 32, 32, 3), dtype=np.float32)
+    losses = []
+    for it in range(1, 7):
+        model.optimize_parameters({"lq": lq, "gt": gt}, it)
+        logs = model.get_current_log()
+        assert all(np.isfinite(v) for v in logs.values())
+        losses.append(logs["l_pix"])
+        if it >= 3:  # mesa starts at 0.3 * 10 = iter 3
+            assert "l_mesa" in logs
+    assert losses[-1] < losses[0]
