@@ -1,0 +1,142 @@
+"""Feature encoders for the arbitrary-scale heads (no_upsampling variants).
+
+The reference ports each SR backbone with a `no_upsampling` flag exposing
+`out_dim` features (ref: esc_arb/models/{esc,edsr,swinir}.py). Here the
+encoders are thin feature-trunk modules reusing the framework's block
+implementations; ESC's deployment flag folds the geo-ensemble offline
+(ref: esc_arb/models/esc.py:260-300).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from super_resolution_tpu.arb.models import register
+from super_resolution_tpu.models.cnn_archs import ResidualBlockNoBN
+from super_resolution_tpu.models.esc_arch import Block, geo_ensemble, orthogonal_oihw
+from super_resolution_tpu.models.swinir_arch import RSTB
+
+
+@register("esc")
+class ESCEncoder(nn.Module):
+    """ESC feature trunk: proj -> blocks (shared PLK) -> last + skip."""
+
+    dim: int = 64
+    pdim: int = 16
+    kernel_size: int = 13
+    n_blocks: int = 5
+    conv_blocks: int = 5
+    window_size: int = 32
+    num_heads: int = 4
+    exp_ratio: float = 1.25
+    deployment: bool = False
+
+    @property
+    def out_dim(self) -> int:
+        return self.dim
+
+    def setup(self):
+        self.plk_filter = self.param(
+            "plk_filter", orthogonal_oihw,
+            (self.pdim, self.pdim, self.kernel_size, self.kernel_size))
+        self.proj = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="proj")
+        self.blocks = [
+            Block(self.dim, self.pdim, self.conv_blocks, self.kernel_size,
+                  self.window_size, self.num_heads, self.exp_ratio,
+                  name=f"blocks_{i}")
+            for i in range(self.n_blocks)
+        ]
+        self.last = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="last")
+
+    def __call__(self, x):
+        feat = self.proj(x)
+        skip = feat
+        plk = (self.plk_filter if self.deployment
+               else geo_ensemble(self.plk_filter))
+        for block in self.blocks:
+            feat = block(feat, plk)
+        return self.last(feat) + skip
+
+
+@register("edsr-baseline")
+@register("edsr")
+class EDSREncoder(nn.Module):
+    """EDSR trunk without upsampling (ref: esc_arb/models/edsr.py)."""
+
+    n_resblocks: int = 16
+    n_feats: int = 64
+    res_scale: float = 1.0
+    no_upsampling: bool = True
+    rgb_range: float = 1.0
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_feats
+
+    def setup(self):
+        self.head = nn.Conv(self.n_feats, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="head")
+        self.body = [ResidualBlockNoBN(self.n_feats, self.res_scale,
+                                       name=f"body_{i}")
+                     for i in range(self.n_resblocks)]
+        self.body_tail = nn.Conv(self.n_feats, (3, 3),
+                                 padding=[(1, 1), (1, 1)], name="body_tail")
+
+    def __call__(self, x):
+        feat = self.head(x)
+        res = feat
+        for blk in self.body:
+            res = blk(res)
+        return self.body_tail(res) + feat
+
+
+@register("swinir")
+class SwinIREncoder(nn.Module):
+    """SwinIR trunk without reconstruction (ref: esc_arb/models/swinir.py)."""
+
+    embed_dim: int = 60
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim
+
+    def setup(self):
+        self.conv_first = nn.Conv(self.embed_dim, (3, 3),
+                                  padding=[(1, 1), (1, 1)], name="conv_first")
+        self.layers = [
+            RSTB(dim=self.embed_dim, depth=d, num_heads=self.num_heads[i],
+                 window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                 name=f"layers_{i}")
+            for i, d in enumerate(self.depths)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        self.conv_after_body = nn.Conv(self.embed_dim, (3, 3),
+                                       padding=[(1, 1), (1, 1)],
+                                       name="conv_after_body")
+
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        ws = self.window_size
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect")
+        feat = self.conv_first(x)
+        body = feat
+        for layer in self.layers:
+            body = layer(body)
+        body = self.norm(body)
+        out = self.conv_after_body(body) + feat
+        return out[:, :h, :w, :]
