@@ -345,9 +345,16 @@ class HATModel(SRModel):
             tile_opt = self.opt["tile"]
             fwd = self._apply_fn()
             params = self.eval_params()
+            mesh = None
+            if tile_opt.get("multichip"):
+                from super_resolution_tpu.parallel.mesh import make_mesh
+
+                if "_tile_mesh" not in self._apply_cache:
+                    self._apply_cache["_tile_mesh"] = make_mesh()
+                mesh = self._apply_cache["_tile_mesh"]
             out = tile_forward(lambda t: fwd(params, t), img, self.scale,
                                tile_opt["tile_size"], tile_opt["tile_pad"],
-                               chunk=tile_opt.get("chunk", 8))
+                               chunk=tile_opt.get("chunk", 8), mesh=mesh)
         else:
             out = self._apply_fn()(self.eval_params(), img)
         self.output = out[:, :h * self.scale, :w * self.scale, :]

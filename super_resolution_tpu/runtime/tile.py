@@ -44,11 +44,16 @@ def _axis_plan(dim: int, tile_size: int, tile_pad: int):
 
 
 def tile_forward(apply_fn, img, scale: int, tile_size: int, tile_pad: int,
-                 chunk: int = 8):
+                 chunk: int = 8, mesh=None):
     """Tiled upscale of (1, H, W, C) -> (1, H*scale, W*scale, C).
 
     apply_fn: batched NHWC -> NHWC x`scale` network forward. Every tile
     shares one compiled shape (T_y, T_x).
+
+    mesh: optional jax Mesh — the per-chunk tile batch is sharded over the
+    'data' axis so each device upscales its slice of tiles (multi-chip
+    tiled inference; the reference's serial tile loop has no analog —
+    SURVEY.md §2.7). `chunk` should be a multiple of the mesh size.
     """
     _, h, w, c = img.shape
     ny, t_y, cs_y, st_y, off_y, pos_y = _axis_plan(h, tile_size, tile_pad)
@@ -67,11 +72,25 @@ def tile_forward(apply_fn, img, scale: int, tile_size: int, tile_pad: int,
     tiles = jax.vmap(gather)(sy, sx)                      # (nT, T_y, T_x, C)
 
     n = tiles.shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        chunk = max(chunk, n_dev) // n_dev * n_dev
+
+        def sharded_apply(t):
+            t = jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, P("data")))
+            return apply_fn(t)
+
+        fwd = sharded_apply
+    else:
+        fwd = apply_fn
     n_pad = (-n) % chunk
     if n_pad:
         tiles = jnp.concatenate(
             [tiles, jnp.zeros((n_pad,) + tiles.shape[1:], tiles.dtype)])
-    out = jax.lax.map(apply_fn, tiles.reshape(-1, chunk, t_y, t_x, c))
+    out = jax.lax.map(fwd, tiles.reshape(-1, chunk, t_y, t_x, c))
     out = out.reshape(-1, t_y * scale, t_x * scale, c)[:n]
 
     def center(tile_out, y_off, x_off):

@@ -145,3 +145,32 @@ def test_pipeline_tile_close_to_whole(synthetic_dataset, tmp_path):
     r_whole = run_test(opt_w)
     r_tile = run_test(opt_t)
     assert abs(r_whole["Synth5"]["psnr"] - r_tile["Synth5"]["psnr"]) < 0.05
+
+
+def test_tile_forward_multichip_mesh(rng):
+    """Tiles sharded over the 8-device CPU mesh == single-device output
+    (BASELINE config 5: multi-chip tiled inference)."""
+    from flax import linen as nn
+
+    from super_resolution_tpu.parallel.mesh import make_mesh
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
+            x = nn.Conv(12, (3, 3), padding=[(1, 1), (1, 1)])(x)
+            return pixel_shuffle(nn.relu(x), 2)
+
+    net = Net()
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    fwd = lambda t: net.apply(variables, t)
+
+    single = np.asarray(tile_forward(fwd, x, 2, tile_size=16, tile_pad=4,
+                                     chunk=8))
+    mesh = make_mesh(8)
+    multi_fn = jax.jit(lambda img: tile_forward(fwd, img, 2, tile_size=16,
+                                                tile_pad=4, chunk=8,
+                                                mesh=mesh))
+    multi = np.asarray(multi_fn(x))
+    np.testing.assert_allclose(multi, single, atol=1e-6)
