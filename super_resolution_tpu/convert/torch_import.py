@@ -104,6 +104,12 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: dict,
     missing = []
     for path, target in flat.items():
         name = flax_path_to_torch_name(path)
+        if name not in state_dict and path[-1] in _LEAF_TO_TORCH:
+            # custom torch params can collide with mapped leaf names (e.g.
+            # ATD_CA's 'scale' is a real param, not a LayerNorm weight)
+            verbatim = ".".join(_SEQ_IDX.sub(r".\1", c) for c in path)
+            if verbatim in state_dict:
+                name = verbatim
         if name not in state_dict:
             missing.append(name)
             if strict:
