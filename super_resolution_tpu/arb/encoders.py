@@ -140,3 +140,68 @@ class SwinIREncoder(nn.Module):
         body = self.norm(body)
         out = self.conv_after_body(body) + feat
         return out[:, :h, :w, :]
+
+
+class _RDBConv(nn.Module):
+    """conv+relu with dense concat (ref: esc_arb/models/rdn.py:13-25)."""
+
+    grow: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(nn.Conv(self.grow, (3, 3), padding=[(1, 1), (1, 1)],
+                              name="conv_0")(x))
+        return jnp.concatenate([x, out], axis=-1)
+
+
+class _RDB(nn.Module):
+    g0: int
+    grow: int
+    n_convs: int
+
+    def setup(self):
+        self.convs = [_RDBConv(self.grow, name=f"convs_{i}")
+                      for i in range(self.n_convs)]
+        self.lff = nn.Conv(self.g0, (1, 1), name="LFF")
+
+    def __call__(self, x):
+        y = x
+        for conv in self.convs:
+            y = conv(y)
+        return self.lff(y) + x
+
+
+@register("rdn")
+class RDNEncoder(nn.Module):
+    """RDN feature trunk, no_upsampling (ref: esc_arb/models/rdn.py:45-100);
+    config 'B' default (16 blocks, 8 convs, growth 64)."""
+
+    G0: int = 64
+    RDNkSize: int = 3
+    RDNconfig: str = "B"
+
+    @property
+    def out_dim(self) -> int:
+        return self.G0
+
+    def setup(self):
+        d, c, g = {"A": (20, 6, 32), "B": (16, 8, 64)}[self.RDNconfig]
+        self._d = d
+        self.sfe1 = nn.Conv(self.G0, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="SFENet1")
+        self.sfe2 = nn.Conv(self.G0, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="SFENet2")
+        self.rdbs = [_RDB(self.G0, g, c, name=f"RDBs_{i}") for i in range(d)]
+        self.gff_0 = nn.Conv(self.G0, (1, 1), name="GFF_0")
+        self.gff_1 = nn.Conv(self.G0, (3, 3), padding=[(1, 1), (1, 1)],
+                             name="GFF_1")
+
+    def __call__(self, x):
+        f1 = self.sfe1(x)
+        y = self.sfe2(f1)
+        outs = []
+        for rdb in self.rdbs:
+            y = rdb(y)
+            outs.append(y)
+        y = self.gff_1(self.gff_0(jnp.concatenate(outs, axis=-1)))
+        return y + f1

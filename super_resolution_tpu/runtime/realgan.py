@@ -407,3 +407,9 @@ class RealHATMSEModel(RealHATGANModel):
     (ref: hat/models/realhatmse_model.py:13-211)."""
 
     with_discriminator = False
+
+
+@MODEL_REGISTRY.register()
+class RealESRGANMSEModel(RealHATMSEModel):
+    """esc's Real-ESRGAN MSE runner name (ref: HAT/ESC/esc/models/
+    realesrgan_mse_model.py:13)."""

@@ -358,3 +358,27 @@ class HATModel(SRModel):
         else:
             out = self._apply_fn()(self.eval_params(), img)
         self.output = out[:, :h * self.scale, :w * self.scale, :]
+
+
+@MODEL_REGISTRY.register()
+class SwinIRModel(HATModel):
+    """SwinIR runner — identical window-padded inference strategy
+    (ref: basicsr/models/swinir_model.py pads like HATModel)."""
+
+
+@MODEL_REGISTRY.register()
+class SRGANModel(HATModel):
+    """Paired GAN SR runner name (ref: basicsr/models/srgan_model.py). The
+    G/D machinery lives in RealHATGANModel with degradation disabled."""
+
+    def __new__(cls, opt):
+        from super_resolution_tpu.runtime.realgan import RealHATGANModel
+
+        opt = dict(opt)
+        opt.setdefault("high_order_degradation", False)
+        return RealHATGANModel(opt)
+
+
+@MODEL_REGISTRY.register()
+class ESRGANModel(SRGANModel):
+    """ESRGAN runner name (ref: basicsr/models/esrgan_model.py)."""
