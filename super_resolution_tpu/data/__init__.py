@@ -20,6 +20,8 @@ from super_resolution_tpu.utils.registry import DATASET_REGISTRY
 
 from super_resolution_tpu.data import paired_dataset  # noqa: F401 registry
 from super_resolution_tpu.data import realesrgan_dataset  # noqa: F401 registry
+from super_resolution_tpu.data import rawpack_dataset  # noqa: F401 registry
+from super_resolution_tpu.data import onthefly_datasets  # noqa: F401 registry
 
 
 def build_dataset(dataset_opt: dict):

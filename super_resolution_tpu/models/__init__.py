@@ -40,4 +40,9 @@ def build_network(opt: dict):
     network_type = opt.pop("type")
     cls = ARCH_REGISTRY.get(network_type)
     kwargs = {k: _tuplify(v) for k, v in opt.items() if k not in _IGNORED_KEYS}
+    # reference attention-backend strings (esc_arch.py ATTN_TYPE) -> ours:
+    # Naive/SDPA/Flex are all the XLA path here; 'pallas' selects the fused
+    # kernel explicitly
+    if kwargs.get("attn_type") in ("Naive", "SDPA", "Flex"):
+        kwargs["attn_type"] = "xla"
     return cls(**kwargs)

@@ -158,3 +158,53 @@ def test_sr_implicit_downsampled(tmp_path, rng):
     assert out["coord"].shape == (100, 2)
     assert out["cell"].shape == (100, 2)
     assert out["gt"].shape == (100, 3)
+
+
+def test_arb_training_loop(tmp_path, rng):
+    import cv2
+
+    from super_resolution_tpu.arb.train import train_arb
+
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(gt_dir / f"g{i}.png"),
+                    (rng.random((48, 48, 3)) * 255).astype(np.uint8))
+    config = {
+        "model": {"name": "liif",
+                  "args": {"encoder_spec": {"name": "edsr-baseline",
+                                            "args": {"n_resblocks": 1,
+                                                     "n_feats": 8}},
+                           "imnet_spec": {"name": "mlp",
+                                          "args": {"out_dim": 3,
+                                                   "hidden_list": [16]}}}},
+        "train_dataset": {"type": "SRImplicitDownsampled",
+                          "dataset": {"type": "DownsampleImageDataset",
+                                      "dataroot_gt": str(gt_dir), "scale": 2,
+                                      "phase": "train"},
+                          "inp_size": 8, "scale_min": 1, "scale_max": 2,
+                          "sample_q": 64, "batch_size": 3},
+        "optimizer": {"lr": 1e-3},
+        "epoch_max": 2, "epoch_save": 2,
+        "multi_step_lr": {"milestones": [10], "gamma": 0.5},
+    }
+    model, params = train_arb(config, save_path=str(tmp_path / "exp"))
+    import os
+    assert os.path.isdir(tmp_path / "exp" / "epoch-last")
+
+
+def test_onthefly_datasets(tmp_path, rng):
+    import cv2
+
+    from super_resolution_tpu.data import build_dataset
+
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    cv2.imwrite(str(gt_dir / "a.png"),
+                (rng.random((37, 41, 3)) * 255).astype(np.uint8))
+    for dtype in ("ImageNetPairedDataset", "DownsampleImageDataset"):
+        ds = build_dataset({"type": dtype, "dataroot_gt": str(gt_dir),
+                            "scale": 2, "phase": "train", "gt_size": 24})
+        item = ds[0]
+        assert item["gt"].shape == (24, 24, 3)
+        assert item["lq"].shape == (12, 12, 3)
