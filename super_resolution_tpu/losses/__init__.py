@@ -7,7 +7,8 @@ from super_resolution_tpu.utils.registry import LOSS_REGISTRY
 from super_resolution_tpu.losses import basic  # noqa: F401 registry
 from super_resolution_tpu.losses import gan  # noqa: F401 registry
 from super_resolution_tpu.losses import perceptual  # noqa: F401 registry
-from super_resolution_tpu.losses.gan import GANLoss, gradient_penalty_loss, r1_penalty  # noqa: F401
+from super_resolution_tpu.losses.gan import (  # noqa: F401
+    GANLoss, MultiScaleGANLoss, gradient_penalty_loss, r1_penalty)
 from super_resolution_tpu.losses.perceptual import PerceptualLoss  # noqa: F401
 from super_resolution_tpu.losses.basic import (  # noqa: F401
     CharbonnierLoss, L1Loss, MSELoss, WeightedTVLoss, charbonnier_loss,

@@ -71,3 +71,19 @@ def gradient_penalty_loss(disc_fn, real, fake, key):
     grads = jax.grad(scalar_out)(interp)
     norms = jnp.sqrt(jnp.sum(grads ** 2, axis=tuple(range(1, grads.ndim))) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)
+
+
+@LOSS_REGISTRY.register()
+class MultiScaleGANLoss(GANLoss):
+    """GANLoss averaged over a list of multi-scale predictions
+    (ref: gan_loss.py::MultiScaleGANLoss)."""
+
+    def __call__(self, pred, target_is_real: bool, is_disc: bool = False):
+        if isinstance(pred, (list, tuple)):
+            total = 0.0
+            for p in pred:
+                if isinstance(p, (list, tuple)):
+                    p = p[-1]
+                total = total + super().__call__(p, target_is_real, is_disc)
+            return total / len(pred)
+        return super().__call__(pred, target_is_real, is_disc)
