@@ -23,6 +23,8 @@ from super_resolution_tpu.models import srformer_arch  # noqa: F401
 from super_resolution_tpu.models import hybrid_hat_naf_arch  # noqa: F401
 from super_resolution_tpu.models import hitsrf_arch  # noqa: F401
 from super_resolution_tpu.models import atd_arch  # noqa: F401
+from super_resolution_tpu.models import ecbsr_arch  # noqa: F401
+from super_resolution_tpu.models import ridnet_arch  # noqa: F401
 
 __all__ = ["build_network", "ARCH_REGISTRY"]
 
