@@ -66,6 +66,8 @@ def flax_path_to_torch_name(path: tuple) -> str:
 def _transform(leaf: str, src: np.ndarray, target_shape: tuple) -> np.ndarray:
     src = np.asarray(src)
     if leaf == "kernel":
+        if src.ndim == 5 and len(target_shape) == 5:
+            return src.transpose(2, 3, 4, 1, 0)  # OIDHW -> DHWIO (conv3d)
         if src.ndim == 4 and len(target_shape) == 4:
             return src.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         if src.ndim == 4 and len(target_shape) == 2:
@@ -110,6 +112,14 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: dict,
             verbatim = ".".join(_SEQ_IDX.sub(r".\1", c) for c in path)
             if verbatim in state_dict:
                 name = verbatim
+        if name not in state_dict:
+            # literal module names that LOOK like flattened sequences (e.g.
+            # BasicVSR++'s ModuleDict key 'backward_1'): retry without the
+            # '_N' -> '.N' rewrite on the module components
+            raw = ".".join(path[:-1]
+                           + (_LEAF_TO_TORCH.get(path[-1], path[-1]),))
+            if raw in state_dict:
+                name = raw
         if name not in state_dict:
             missing.append(name)
             if strict:

@@ -11,9 +11,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear(img, grid, align_corners: bool = False):
+def grid_sample_bilinear(img, grid, align_corners: bool = False,
+                         padding_mode: str = "border"):
     """img: (B, H, W, C); grid: (B, Ho, Wo, 2) with normalized (x, y) in
-    [-1, 1]. Border padding. Returns (B, Ho, Wo, C)."""
+    [-1, 1]. padding_mode 'border' or 'zeros' (torch parity).
+    Returns (B, Ho, Wo, C)."""
     b, h, w, c = img.shape
     gx, gy = grid[..., 0], grid[..., 1]
     if align_corners:
@@ -22,6 +24,14 @@ def grid_sample_bilinear(img, grid, align_corners: bool = False):
     else:
         ix = (gx + 1) * 0.5 * w - 0.5
         iy = (gy + 1) * 0.5 * h - 0.5
+    return _bilinear_gather(img, ix, iy, padding_mode)
+
+
+def _bilinear_gather(img, ix, iy, padding_mode: str = "border"):
+    """Bilinear sample at pixel coordinates ix/iy (B, ...spatial...).
+    'zeros' zeroes per-corner out-of-bounds taps (torch grid_sample
+    semantics); 'border' clamps."""
+    b, h, w, _c = img.shape
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
@@ -37,11 +47,27 @@ def grid_sample_bilinear(img, grid, align_corners: bool = False):
     x0c, x1c = clampx(x0), clampx(x0 + 1)
     y0c, y1c = clampy(y0), clampy(y0 + 1)
 
-    bidx = jnp.arange(b)[:, None, None]
+    bidx = jnp.arange(b).reshape((b,) + (1,) * (ix.ndim - 1))
     v00 = img[bidx, y0c, x0c]
     v01 = img[bidx, y0c, x1c]
     v10 = img[bidx, y1c, x0c]
     v11 = img[bidx, y1c, x1c]
+
+    if padding_mode == "zeros":
+        dt = img.dtype
+
+        def validx(v):
+            return ((v >= 0) & (v <= w - 1)).astype(dt)[..., None]
+
+        def validy(v):
+            return ((v >= 0) & (v <= h - 1)).astype(dt)[..., None]
+
+        v00 = v00 * (validy(y0) * validx(x0))
+        v01 = v01 * (validy(y0) * validx(x0 + 1))
+        v10 = v10 * (validy(y0 + 1) * validx(x0))
+        v11 = v11 * (validy(y0 + 1) * validx(x0 + 1))
+    elif padding_mode != "border":
+        raise NotImplementedError(padding_mode)
 
     fx = fx[..., None]
     fy = fy[..., None]

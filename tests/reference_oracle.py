@@ -30,6 +30,71 @@ def _make_mod(name: str, **attrs) -> types.ModuleType:
     return m
 
 
+def naive_deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                        padding=(0, 0), dilation=(1, 1), mask=None):
+    """Pure-torch torchvision.ops.deform_conv2d (DCNv2) — the oracle for our
+    Pallas/XLA implementation AND the stub that lets the reference's
+    DCN-based archs (EDVR, BasicVSR++) run on CPU. Implements torchvision's
+    documented semantics: offset channel 2*(g*kk+k) is dy, +1 is dx; out-of-
+    bounds bilinear corner taps are zero."""
+    import torch
+
+    def _pair(v):
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    b, c, h, w = input.shape
+    oc, _, kh, kw = weight.shape
+    kk = kh * kw
+    ho = (h + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    wo = (w + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    dg = offset.shape[1] // (2 * kk)
+    cg = c // dg
+    off = offset.view(b, dg, kk, 2, ho, wo).to(input.dtype)
+    m = mask.view(b, dg, kk, ho, wo) if mask is not None else None
+
+    oy = torch.arange(ho, dtype=input.dtype).view(1, ho, 1) * sh - ph
+    ox = torch.arange(wo, dtype=input.dtype).view(1, 1, wo) * sw - pw
+
+    def sample(img, py, px):
+        # img (b,cg,h,w); py/px (b,ho,wo) -> (b,cg,ho,wo), zeros padding
+        y0 = torch.floor(py)
+        x0 = torch.floor(px)
+        fy = (py - y0).unsqueeze(1)
+        fx = (px - x0).unsqueeze(1)
+        out = 0.0
+        for dy_i, wy in ((0, 1 - fy), (1, fy)):
+            for dx_i, wx in ((0, 1 - fx), (1, fx)):
+                yy = y0 + dy_i
+                xx = x0 + dx_i
+                valid = ((yy >= 0) & (yy <= h - 1) & (xx >= 0)
+                         & (xx <= w - 1)).unsqueeze(1).to(img.dtype)
+                yc = yy.clamp(0, h - 1).long()
+                xc = xx.clamp(0, w - 1).long()
+                bidx = torch.arange(b).view(b, 1, 1)
+                v = img[bidx, :, yc, xc].permute(0, 3, 1, 2)
+                out = out + v * valid * wy * wx
+        return out
+
+    cols = input.new_zeros(b, c, kk, ho, wo)
+    for g in range(dg):
+        img = input[:, g * cg:(g + 1) * cg]
+        for k in range(kk):
+            i, j = divmod(k, kw)
+            py = oy + i * dh + off[:, g, k, 0]
+            px = ox + j * dw + off[:, g, k, 1]
+            val = sample(img, py, px)
+            if m is not None:
+                val = val * m[:, g, k].unsqueeze(1)
+            cols[:, g * cg:(g + 1) * cg, k] = val
+    out = torch.einsum("bckhw,ock->bohw", cols, weight.reshape(oc, c, kk))
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
 def install_stubs() -> None:
     global _installed
     if _installed:
@@ -45,6 +110,9 @@ def install_stubs() -> None:
                      normalize=lambda *a, **k: None)
     tvt.functional = tvtf
     tv.utils, tv.models, tv.transforms = tvu, tvm, tvt
+    tv.__version__ = "0.15.0"
+    tvo = _make_mod("torchvision.ops", deform_conv2d=naive_deform_conv2d)
+    tv.ops = tvo
 
     # timm.layers for hitsrf_arch: provide real tiny implementations.
     timm = _make_mod("timm")
