@@ -25,6 +25,12 @@ from super_resolution_tpu.models import hitsrf_arch  # noqa: F401
 from super_resolution_tpu.models import atd_arch  # noqa: F401
 from super_resolution_tpu.models import ecbsr_arch  # noqa: F401
 from super_resolution_tpu.models import ridnet_arch  # noqa: F401
+from super_resolution_tpu.models import spynet_arch  # noqa: F401
+from super_resolution_tpu.models import edvr_arch  # noqa: F401
+from super_resolution_tpu.models import basicvsr_arch  # noqa: F401
+from super_resolution_tpu.models import basicvsrpp_arch  # noqa: F401
+from super_resolution_tpu.models import tof_arch  # noqa: F401
+from super_resolution_tpu.models import duf_arch  # noqa: F401
 
 __all__ = ["build_network", "ARCH_REGISTRY"]
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -133,3 +134,29 @@ def drop_path(x, rate: float, deterministic: bool, rng=None):
 
 def to_2tuple(x) -> tuple:
     return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-semantics BatchNorm over the channel-last axis.
+
+    The reference's BN-bearing archs (TOFlow, DUF — ref: tof_arch.py:18-27,
+    duf_arch.py:30-56) are inference/weight-import targets; running stats
+    live as frozen params named exactly like torch buffers so checkpoints
+    convert verbatim. (Training them from scratch would need a batch-stats
+    variant; the reference never trains these either.)
+    """
+
+    num_features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.num_features,))
+        b = self.param("bias", nn.initializers.zeros, (self.num_features,))
+        mean = jax.lax.stop_gradient(
+            self.param("running_mean", nn.initializers.zeros,
+                       (self.num_features,)))
+        var = jax.lax.stop_gradient(
+            self.param("running_var", nn.initializers.ones,
+                       (self.num_features,)))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b
