@@ -31,6 +31,8 @@ from super_resolution_tpu.models import basicvsr_arch  # noqa: F401
 from super_resolution_tpu.models import basicvsrpp_arch  # noqa: F401
 from super_resolution_tpu.models import tof_arch  # noqa: F401
 from super_resolution_tpu.models import duf_arch  # noqa: F401
+from super_resolution_tpu.models import stylegan2_arch  # noqa: F401
+from super_resolution_tpu.models import stylegan2_bilinear_arch  # noqa: F401
 
 __all__ = ["build_network", "ARCH_REGISTRY"]
 

@@ -61,3 +61,48 @@ class UNetDiscriminatorSN(nn.Module):
         out = lrelu(snconv(nf, 3, 1, "conv7")(x6, update_stats=update))
         out = lrelu(snconv(nf, 3, 1, "conv8")(out, update_stats=update))
         return nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], name="conv9")(out)
+
+
+@ARCH_REGISTRY.register()
+class VGGStyleDiscriminator(nn.Module):
+    """VGG-style discriminator for 128/256 inputs
+    (ref: basicsr/archs/discriminator_arch.py:9-88): 3x3 conv + 4x4 stride-2
+    conv pairs with BatchNorm, then two linear layers. BN runs with stored
+    (frozen) statistics — see models/arch_util.FrozenBatchNorm.
+    """
+
+    num_in_ch: int = 3
+    num_feat: int = 64
+    input_size: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from super_resolution_tpu.models.arch_util import FrozenBatchNorm
+
+        assert self.input_size in (128, 256)
+        assert x.shape[1] == self.input_size
+
+        def lrelu(v):
+            return nn.leaky_relu(v, negative_slope=0.2)
+
+        def conv(feats, k, s, name, bias):
+            return nn.Conv(feats, (k, k), strides=(s, s),
+                           padding=[(1, 1)] * 2, use_bias=bias, name=name)
+
+        nf = self.num_feat
+        feat = lrelu(conv(nf, 3, 1, "conv0_0", True)(x))
+        feat = lrelu(FrozenBatchNorm(nf, name="bn0_1")(
+            conv(nf, 4, 2, "conv0_1", False)(feat)))
+        stages = [(nf * 2, "1"), (nf * 4, "2"), (nf * 8, "3"), (nf * 8, "4")]
+        if self.input_size == 256:
+            stages.append((nf * 8, "5"))
+        for feats, tag in stages:
+            feat = lrelu(FrozenBatchNorm(feats, name=f"bn{tag}_0")(
+                conv(feats, 3, 1, f"conv{tag}_0", False)(feat)))
+            feat = lrelu(FrozenBatchNorm(feats, name=f"bn{tag}_1")(
+                conv(feats, 4, 2, f"conv{tag}_1", False)(feat)))
+
+        # torch flattens NCHW (c-major)
+        feat = feat.transpose(0, 3, 1, 2).reshape(feat.shape[0], -1)
+        feat = lrelu(nn.Dense(100, name="linear1")(feat))
+        return nn.Dense(1, name="linear2")(feat)

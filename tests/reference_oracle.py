@@ -192,6 +192,19 @@ def install_stubs() -> None:
         m = types.ModuleType(name)
         m.__path__ = [path]
         sys.modules[name] = m
+
+    # The fused_act CUDA extension has no CPU fallback (unlike upfirdn2d's
+    # _native path); patch in a pure-torch equivalent so StyleGAN2 runs.
+    import basicsr.ops.fused_act as _fa_pkg
+    import basicsr.ops.fused_act.fused_act as _fa
+
+    def _fused_leaky_relu_cpu(input, bias, negative_slope=0.2, scale=2 ** 0.5):
+        if bias is not None:
+            input = input + bias.view(1, -1, *([1] * (input.ndim - 2)))
+        return torch.nn.functional.leaky_relu(input, negative_slope) * scale
+
+    _fa.fused_leaky_relu = _fused_leaky_relu_cpu
+    _fa_pkg.fused_leaky_relu = _fused_leaky_relu_cpu
     _installed = True
 
 
