@@ -33,6 +33,8 @@ from super_resolution_tpu.models import tof_arch  # noqa: F401
 from super_resolution_tpu.models import duf_arch  # noqa: F401
 from super_resolution_tpu.models import stylegan2_arch  # noqa: F401
 from super_resolution_tpu.models import stylegan2_bilinear_arch  # noqa: F401
+from super_resolution_tpu.models import hifacegan_arch  # noqa: F401
+from super_resolution_tpu.models import dfdnet_arch  # noqa: F401
 
 __all__ = ["build_network", "ARCH_REGISTRY"]
 

@@ -160,3 +160,42 @@ class FrozenBatchNorm(nn.Module):
             self.param("running_var", nn.initializers.ones,
                        (self.num_features,)))
         return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b
+
+
+class SNConv2d(nn.Module):
+    """Spectrally-normalized conv with torch eval semantics.
+
+    torch.nn.utils.spectral_norm stores weight_orig/weight_u/weight_v and at
+    eval computes sigma = u . (W_mat v) from the STORED vectors (no power
+    iteration). Parameters keep those exact names so SN checkpoints
+    (DFDNet, HiFaceGAN) convert verbatim. Training updates of u/v, when
+    needed, are the runner's job (one extra power-iteration step on the
+    param tree), keeping this module pure.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from super_resolution_tpu.ops.conv import conv2d_nhwc
+
+        k = self.kernel_size
+        w = self.param("weight_orig", nn.initializers.normal(0.02),
+                       (self.out_channels, self.in_channels, k, k))
+        u = self.param("weight_u", nn.initializers.normal(1.0),
+                       (self.out_channels,))
+        v = self.param("weight_v", nn.initializers.normal(1.0),
+                       (self.in_channels * k * k,))
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = u @ (w.reshape(self.out_channels, -1) @ v)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,)) if self.use_bias else None)
+        return conv2d_nhwc(x, w / sigma, bias, stride=self.stride,
+                           padding=self.padding, dilation=self.dilation)

@@ -19,7 +19,7 @@ from jax import lax
 
 
 def conv2d_nhwc(x, kernel_oihw, bias=None, stride: int = 1, padding=None,
-                groups: int = 1, precision=None):
+                groups: int = 1, dilation: int = 1, precision=None):
     """NHWC conv with a torch-layout (O, I/g, kh, kw) kernel.
 
     Used by weight-converted paths so kernels keep torch layout in the
@@ -33,6 +33,7 @@ def conv2d_nhwc(x, kernel_oihw, bias=None, stride: int = 1, padding=None,
     out = lax.conv_general_dilated(
         x, kernel_oihw.transpose(2, 3, 1, 0),  # HWIO
         window_strides=(stride, stride), padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups, precision=precision)
     if bias is not None:

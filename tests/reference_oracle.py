@@ -104,6 +104,33 @@ def install_stubs() -> None:
     tv = _make_mod("torchvision")
     tvu = _make_mod("torchvision.utils", make_grid=lambda *a, **k: None)
     vgg_stub = _make_mod("torchvision.models.vgg")
+
+    # functional vgg19 so basicsr's VGGFeatureExtractor (and DFDNet /
+    # perceptual loss) can build with random weights on CPU
+    import torch.nn as _nn
+
+    _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                  512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+    def _tv_vgg19(pretrained=False, **kwargs):
+        layers = []
+        in_ch = 3
+        for v in _VGG19_CFG:
+            if v == "M":
+                layers.append(_nn.MaxPool2d(2, 2))
+            else:
+                layers += [_nn.Conv2d(in_ch, v, 3, padding=1),
+                           _nn.ReLU(inplace=True)]
+                in_ch = v
+
+        class _VGG(_nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = _nn.Sequential(*layers)
+
+        return _VGG()
+
+    vgg_stub.vgg19 = _tv_vgg19
     tvm = _make_mod("torchvision.models", vgg=vgg_stub)
     tvt = _make_mod("torchvision.transforms")
     tvtf = _make_mod("torchvision.transforms.functional",
