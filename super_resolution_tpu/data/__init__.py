@@ -22,6 +22,7 @@ from super_resolution_tpu.data import paired_dataset  # noqa: F401 registry
 from super_resolution_tpu.data import realesrgan_dataset  # noqa: F401 registry
 from super_resolution_tpu.data import rawpack_dataset  # noqa: F401 registry
 from super_resolution_tpu.data import onthefly_datasets  # noqa: F401 registry
+from super_resolution_tpu.data import video_datasets  # noqa: F401 registry
 
 
 def build_dataset(dataset_opt: dict):

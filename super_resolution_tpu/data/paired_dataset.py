@@ -149,3 +149,31 @@ class SingleImageDataset:
             std = np.asarray(self.opt.get("std", [1, 1, 1]), dtype=np.float32)
             img_lq = (img_lq - mean) / std
         return {"lq": img_lq, "lq_path": lq_path}
+
+
+@DATASET_REGISTRY.register()
+class RealESRGANPairedDataset(PairedImageDataset):
+    """Paired dataset with the Real-ESRGAN 'meta_info' format — each line is
+    'gt_relpath, lq_relpath' (ref: basicsr/data/realesrgan_paired_dataset.py:
+    12-110). Everything else (crop/augment/normalize) matches
+    PairedImageDataset.
+    """
+
+    def __init__(self, opt: dict):
+        if opt.get("meta_info"):
+            self.opt = opt
+            self.gt_folder = opt["dataroot_gt"]
+            self.lq_folder = opt["dataroot_lq"]
+            self.filename_tmpl = opt.get("filename_tmpl", "{}")
+            self.paths = []
+            with open(opt["meta_info"]) as fin:
+                for line in fin:
+                    if not line.strip():
+                        continue
+                    gt_rel, lq_rel = [p.strip() for p in line.split(",")]
+                    self.paths.append(
+                        {"gt_path": osp.join(self.gt_folder, gt_rel),
+                         "lq_path": osp.join(self.lq_folder, lq_rel)})
+            self._rng = None
+        else:
+            super().__init__(opt)

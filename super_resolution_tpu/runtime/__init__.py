@@ -7,6 +7,7 @@ from super_resolution_tpu.utils.registry import MODEL_REGISTRY
 from super_resolution_tpu.runtime import sr_model  # noqa: F401 registry
 from super_resolution_tpu.runtime import realgan  # noqa: F401 registry
 from super_resolution_tpu.runtime import esr_model  # noqa: F401 registry
+from super_resolution_tpu.runtime import video_models  # noqa: F401 registry
 
 
 def build_model(opt: dict):

@@ -413,3 +413,163 @@ class RealHATMSEModel(RealHATGANModel):
 class RealESRGANMSEModel(RealHATMSEModel):
     """esc's Real-ESRGAN MSE runner name (ref: HAT/ESC/esc/models/
     realesrgan_mse_model.py:13)."""
+
+
+# --------------------------------------------------------------------------
+# Reusable GAN-training attachment for video runners
+# (ref: video_gan_model.py:7-19 composes SRGANModel's training with
+# VideoBaseModel's validation; video_recurrent_gan_model.py:12-180 adds
+# frame flattening for the perceptual loss / discriminator).
+
+
+def attach_gan_training(model, mesh=None, video: bool = False):
+    """Wire SRGAN-style G/D training onto any runner with .net_g/.params."""
+    from super_resolution_tpu.runtime.train_loop import (
+        TrainState, build_optimizer, init_train_state, make_freeze_mask)
+
+    train_opt = model.opt["train"]
+    model.mesh = mesh
+    model.ema_decay = train_opt.get("ema_decay", 0)
+    lr_rules = None
+    if video and train_opt.get("fix_flow") and train_opt.get("lr_flow"):
+        # the reference gives the flow net its own lr group (lr_flow,
+        # video_recurrent_gan_model.py:57-77)
+        base_lr = train_opt["optim_g"]["lr"]
+        lr_rules = {"spynet": train_opt["lr_flow"] / base_lr}
+    model.tx, model.lr_schedule = build_optimizer(train_opt, lr_rules)
+    model.state = init_train_state(model.params, model.tx, model.ema_decay)
+
+    model.net_d = build_network(model.opt["network_d"])
+    gt_size = (model.opt.get("datasets", {}).get("train", {})
+               .get("gt_size", 128))
+    dummy = jnp.zeros((1, gt_size, gt_size, 3))
+    variables = model.net_d.init(jax.random.PRNGKey(1), dummy)
+    model.params_d = variables["params"]
+    model.sn_stats = variables.get("batch_stats", {})
+
+    model.cri_pix = (build_loss(train_opt["pixel_opt"])
+                     if train_opt.get("pixel_opt") else None)
+    model.cri_perceptual = (build_loss(train_opt["perceptual_opt"])
+                            if train_opt.get("perceptual_opt") else None)
+    model.cri_gan = build_loss(train_opt["gan_opt"])
+    model.net_d_iters = train_opt.get("net_d_iters", 1)
+    model.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
+    model._train_rng = jax.random.PRNGKey(
+        (model.opt.get("manual_seed") or 0) + 3)
+    model.log_dict = {}
+
+    opt_d = dict(train_opt["optim_d"])
+    opt_d.pop("type", None)
+    betas = opt_d.pop("betas", (0.9, 0.999))
+    model.tx_d = optax.adam(opt_d.pop("lr"), b1=betas[0], b2=betas[1])
+    model.opt_state_d = model.tx_d.init(model.params_d)
+
+    grad_mask = None
+    fix_flow = train_opt.get("fix_flow") if video else None
+    if fix_flow:
+        grad_mask = make_freeze_mask([(("spynet", "edvr"), fix_flow)])
+
+    net_g, net_d = model.net_g, model.net_d
+    cri_pix, cri_gan = model.cri_pix, model.cri_gan
+    cri_percep = model.cri_perceptual
+    tx, tx_d = model.tx, model.tx_d
+    ema_decay = model.ema_decay
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[-3:]) if video else x
+
+    def g_loss(params, lq, gt, d_params, sn_stats):
+        sr = net_g.apply({"params": params}, lq)
+        logs = {}
+        total = 0.0
+        if cri_pix is not None:
+            l_pix = cri_pix(sr, gt)
+            total += l_pix
+            logs["l_g_pix"] = l_pix
+        if cri_percep is not None:
+            l_p, l_s = cri_percep(flat(sr), flat(gt))
+            if l_p is not None:
+                total += l_p
+                logs["l_g_percep"] = l_p
+            if l_s is not None:
+                total += l_s
+                logs["l_g_style"] = l_s
+        fake_pred = net_d.apply({"params": d_params,
+                                 "batch_stats": sn_stats}, flat(sr))
+        l_gan = cri_gan(fake_pred, True, is_disc=False)
+        total += l_gan
+        logs["l_g_gan"] = l_gan
+        logs["l_g_total"] = total
+        return total, (logs, sr)
+
+    def g_step(state, lq, gt, d_params, sn_stats):
+        (_, (logs, sr)), grads = jax.value_and_grad(g_loss, has_aux=True)(
+            state.params, lq, gt, d_params, sn_stats)
+        if grad_mask is not None:
+            grads = grad_mask(grads, state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if ema_decay > 0:
+            ema = jax.tree.map(lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                               state.ema_params, params)
+        else:
+            ema = state.ema_params
+        return TrainState(step=state.step + 1, params=params, ema_params=ema,
+                          opt_state=opt_state), logs, sr
+
+    model._g_step = jax.jit(g_step)
+
+    import inspect
+
+    has_sn_flag = "update_sn_stats" in inspect.signature(
+        net_d.__call__).parameters
+
+    def d_loss(d_params, sn_stats, sr, gt):
+        if has_sn_flag:
+            real_pred, vars_r = net_d.apply(
+                {"params": d_params, "batch_stats": sn_stats}, flat(gt),
+                update_sn_stats=True, mutable=["batch_stats"])
+            new_stats = vars_r["batch_stats"]
+        else:
+            real_pred = net_d.apply({"params": d_params,
+                                     "batch_stats": sn_stats}, flat(gt))
+            new_stats = sn_stats
+        l_real = cri_gan(real_pred, True, is_disc=True)
+        fake_pred = net_d.apply({"params": d_params, "batch_stats": new_stats},
+                                jax.lax.stop_gradient(flat(sr)))
+        l_fake = cri_gan(fake_pred, False, is_disc=True)
+        logs = {"l_d_real": l_real, "l_d_fake": l_fake,
+                "out_d_real": jnp.mean(real_pred),
+                "out_d_fake": jnp.mean(fake_pred)}
+        return l_real + l_fake, (logs, new_stats)
+
+    def d_step(d_params, opt_state_d, sn_stats, sr, gt):
+        (_, (logs, new_stats)), grads = jax.value_and_grad(
+            d_loss, has_aux=True)(d_params, sn_stats, sr, gt)
+        updates, opt_state_d = tx_d.update(grads, opt_state_d, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        return d_params, opt_state_d, new_stats, logs
+
+    model._d_step = jax.jit(d_step)
+
+
+def gan_optimize_step(model, batch, current_iter: int):
+    """One G/D alternation (ref: srgan_model.py:85-141)."""
+    model.feed_data(batch)
+    logs = {}
+    run_g = (current_iter % model.net_d_iters == 0
+             and current_iter > model.net_d_init_iters)
+    sr = None
+    if run_g:
+        model.state, g_logs, sr = model._g_step(
+            model.state, model.lq, model.gt, model.params_d, model.sn_stats)
+        model.params = model.state.params
+        if model.ema_decay > 0:
+            model.ema_params = model.state.ema_params
+        logs.update(g_logs)
+    if sr is None:
+        sr = model.net_g.apply({"params": model.params}, model.lq)
+    model.params_d, model.opt_state_d, model.sn_stats, d_logs = model._d_step(
+        model.params_d, model.opt_state_d, model.sn_stats, sr, model.gt)
+    logs.update(d_logs)
+    model.log_dict = {k: float(v) for k, v in logs.items()}

@@ -70,11 +70,15 @@ def imwrite(img: np.ndarray, file_path: str, auto_mkdir: bool = True) -> None:
         raise IOError(f"Failed to write image: {file_path}")
 
 
-def imfrombytes(content: bytes, float32: bool = False) -> np.ndarray:
-    """Decode image bytes to BGR HWC (lmdb/file-client read path)."""
+def imfrombytes(content: bytes, float32: bool = False,
+                flag: str = "color") -> np.ndarray:
+    """Decode image bytes to BGR HWC (lmdb/file-client read path).
+    flag: 'color' | 'grayscale' | 'unchanged' (ref: img_util.py::imfrombytes)."""
     import cv2
 
-    img = cv2.imdecode(np.frombuffer(content, np.uint8), cv2.IMREAD_COLOR)
+    flags = {"color": cv2.IMREAD_COLOR, "grayscale": cv2.IMREAD_GRAYSCALE,
+             "unchanged": cv2.IMREAD_UNCHANGED}[flag]
+    img = cv2.imdecode(np.frombuffer(content, np.uint8), flags)
     if float32:
         img = img.astype(np.float32) / 255.0
     return img
