@@ -87,3 +87,56 @@ class MultiScaleGANLoss(GANLoss):
                 total = total + super().__call__(p, target_is_real, is_disc)
             return total / len(pred)
         return super().__call__(pred, target_is_real, is_disc)
+
+
+def g_path_regularize(decode_fn, latents, mean_path_length, key,
+                      decay: float = 0.01):
+    """StyleGAN2 path-length regularization (ref: gan_loss.py:159-168).
+
+    decode_fn: latents (B, L, C) -> image (B, H, W, 3); differentiable.
+    Returns (path_penalty, mean(path_lengths), new_mean_path_length).
+    """
+    fake_img = decode_fn(latents)
+    h, w = fake_img.shape[1], fake_img.shape[2]
+    noise = jax.random.normal(key, fake_img.shape,
+                              fake_img.dtype) / jnp.sqrt(float(h * w))
+    grad = jax.grad(lambda lt: jnp.sum(decode_fn(lt) * noise))(latents)
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad ** 2, axis=2), axis=1))
+    path_mean = mean_path_length + decay * (jnp.mean(path_lengths)
+                                            - mean_path_length)
+    path_penalty = jnp.mean((path_lengths - path_mean) ** 2)
+    return path_penalty, jax.lax.stop_gradient(jnp.mean(path_lengths)), \
+        jax.lax.stop_gradient(path_mean)
+
+
+@LOSS_REGISTRY.register()
+class GANFeatLoss:
+    """pix2pixHD feature-matching loss over multiscale discriminator
+    features (consumed by HiFaceGANModel's feature_matching_opt —
+    ref: basicsr/models/hifacegan_model.py:36-38; the loss itself is the
+    standard upstream-BasicSR GANFeatLoss the reference expects).
+    """
+
+    def __init__(self, criterion: str = "l1", loss_weight: float = 1.0,
+                 reduction: str = "mean"):
+        self.loss_weight = loss_weight
+        if criterion == "l1":
+            self.crit = lambda a, b: jnp.mean(jnp.abs(a - b))
+        elif criterion == "l2":
+            self.crit = lambda a, b: jnp.mean((a - b) ** 2)
+        elif criterion == "charbonnier":
+            self.crit = lambda a, b: jnp.mean(
+                jnp.sqrt((a - b) ** 2 + 1e-12))
+        else:
+            raise ValueError(f"Unsupported criterion {criterion}")
+
+    def __call__(self, pred_fake, pred_real):
+        num_d = len(pred_fake)
+        loss = 0.0
+        for i in range(num_d):
+            num_intermediate = len(pred_fake[i]) - 1
+            for j in range(num_intermediate):
+                loss += self.crit(
+                    pred_fake[i][j],
+                    jax.lax.stop_gradient(pred_real[i][j])) / num_d
+        return loss * self.loss_weight

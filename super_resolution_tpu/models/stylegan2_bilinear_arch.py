@@ -228,10 +228,12 @@ class StyleGAN2GeneratorBilinear(nn.Module):
         elif len(styles) == 2:
             assert inject_index is not None, \
                 "pass inject_index explicitly (no RNG inside jit)"
-            latent1 = jnp.repeat(styles[0][:, None], inject_index, axis=1)
-            latent2 = jnp.repeat(styles[1][:, None],
-                                 self.num_latent - inject_index, axis=1)
-            latent = jnp.concatenate([latent1, latent2], axis=1)
+            # where-mask mixing keeps shapes static so inject_index may be a
+            # traced scalar (sampled on host per step)
+            latent1 = jnp.repeat(styles[0][:, None], self.num_latent, axis=1)
+            latent2 = jnp.repeat(styles[1][:, None], self.num_latent, axis=1)
+            mask = (jnp.arange(self.num_latent) < inject_index)[None, :, None]
+            latent = jnp.where(mask, latent1, latent2)
 
         b = latent.shape[0]
         out = jnp.tile(self.constant.transpose(0, 2, 3, 1), (b, 1, 1, 1))

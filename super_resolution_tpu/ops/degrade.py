@@ -137,6 +137,10 @@ def _torch_resize_plan(in_size: int, out_size: int, mode: str):
         w = valid.astype(np.float64)
         w /= w.sum(axis=1, keepdims=True)
         return w, idx
+    if mode == "nearest":
+        # torch F.interpolate nearest: index floor(i * in / out)
+        idx = (np.arange(out_size) * in_size // out_size)[:, None]
+        return np.ones((out_size, 1)), np.clip(idx, 0, in_size - 1)
     scale = in_size / out_size
     u = (np.arange(out_size) + 0.5) * scale - 0.5
     if mode == "bilinear":

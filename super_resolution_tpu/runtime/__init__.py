@@ -8,6 +8,8 @@ from super_resolution_tpu.runtime import sr_model  # noqa: F401 registry
 from super_resolution_tpu.runtime import realgan  # noqa: F401 registry
 from super_resolution_tpu.runtime import esr_model  # noqa: F401 registry
 from super_resolution_tpu.runtime import video_models  # noqa: F401 registry
+from super_resolution_tpu.runtime import stylegan2_model  # noqa: F401 registry
+from super_resolution_tpu.runtime import hifacegan_model  # noqa: F401 registry
 
 
 def build_model(opt: dict):
