@@ -205,3 +205,189 @@ class RDNEncoder(nn.Module):
             outs.append(y)
         y = self.gff_1(self.gff_0(jnp.concatenate(outs, axis=-1)))
         return y + f1
+
+
+class _RCANCALayer(nn.Module):
+    """(ref: esc_arb/models/rcan.py:46-62)."""
+
+    channel: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.relu(nn.Conv(self.channel // self.reduction, (1, 1),
+                            name="conv_du.0")(y))
+        y = nn.sigmoid(nn.Conv(self.channel, (1, 1), name="conv_du.2")(y))
+        return x * y
+
+
+class _RCAB(nn.Module):
+    """(ref: esc_arb/models/rcan.py:64-84)."""
+
+    n_feat: int
+    reduction: int
+
+    @nn.compact
+    def __call__(self, x):
+        res = nn.relu(nn.Conv(self.n_feat, (3, 3), padding=[(1, 1)] * 2,
+                              name="body.0")(x))
+        res = nn.Conv(self.n_feat, (3, 3), padding=[(1, 1)] * 2,
+                      name="body.2")(res)
+        res = _RCANCALayer(self.n_feat, self.reduction, name="body.3")(res)
+        return res + x
+
+
+class _RCANResidualGroup(nn.Module):
+    """(ref: esc_arb/models/rcan.py:86-102)."""
+
+    n_feat: int
+    reduction: int
+    n_resblocks: int
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for i in range(self.n_resblocks):
+            res = _RCAB(self.n_feat, self.reduction, name=f"body.{i}")(res)
+        res = nn.Conv(self.n_feat, (3, 3), padding=[(1, 1)] * 2,
+                      name=f"body.{self.n_resblocks}")(res)
+        return res + x
+
+
+@register("rcan")
+class RCANEncoder(nn.Module):
+    """RCAN feature trunk, EDSR-style port (ref: esc_arb/models/rcan.py:
+    104-207); no mean shift on the arb path (forward comments it out)."""
+
+    n_resgroups: int = 10
+    n_resblocks: int = 20
+    n_feats: int = 64
+    reduction: int = 16
+    scale: int = 2
+    no_upsampling: bool = True
+    rgb_range: float = 1.0
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_feats
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.no_upsampling, "arb encoders run feature-only"
+        x = nn.Conv(self.n_feats, (3, 3), padding=[(1, 1)] * 2,
+                    name="head.0")(x)
+        res = x
+        for g in range(self.n_resgroups):
+            res = _RCANResidualGroup(self.n_feats, self.reduction,
+                                     self.n_resblocks, name=f"body.{g}")(res)
+        res = nn.Conv(self.n_feats, (3, 3), padding=[(1, 1)] * 2,
+                      name=f"body.{self.n_resgroups}")(res)
+        return res + x
+
+
+@register("ATDLight")
+class ATDEncoder(nn.Module):
+    """ATD feature trunk (ref: esc_arb/models/atd.py:883-1196 arbitrary-
+    scale path + make_atdlight:1197-1216): mirror-pad to window multiple,
+    conv_first -> ATD blocks -> norm -> conv_after_body + skip, crop.
+    No mean shift (the port comments it out)."""
+
+    embed_dim: int = 48
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (4, 4, 4, 4)
+    window_size: int = 16
+    category_size: int = 128
+    num_tokens: int = 64
+    reducted_dim: int = 8
+    convffn_kernel_size: int = 7
+    mlp_ratio: float = 1.0
+    no_upsampling: bool = True
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim
+
+    def setup(self):
+        from super_resolution_tpu.models.atd_arch import ATDB, PatchEmbedNorm
+
+        self.conv_first = nn.Conv(self.embed_dim, (3, 3),
+                                  padding=[(1, 1), (1, 1)], name="conv_first")
+        self.patch_embed = PatchEmbedNorm(True, name="patch_embed")
+        self.layers = [
+            ATDB(dim=self.embed_dim, depth=self.depths[i],
+                 num_heads=self.num_heads[i], window_size=self.window_size,
+                 category_size=self.category_size,
+                 num_tokens=self.num_tokens, reducted_dim=self.reducted_dim,
+                 convffn_kernel_size=self.convffn_kernel_size,
+                 mlp_ratio=self.mlp_ratio, resi_connection="1conv",
+                 name=f"layers_{i}")
+            for i in range(len(self.depths))
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        self.conv_after_body = nn.Conv(self.embed_dim, (3, 3),
+                                       padding=[(1, 1), (1, 1)],
+                                       name="conv_after_body")
+
+    def __call__(self, x):
+        h_ori, w_ori = x.shape[1], x.shape[2]
+        mod = self.window_size
+        pad_h = (mod - h_ori % mod) % mod
+        pad_w = (mod - w_ori % mod) % mod
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="symmetric")
+        feat = self.conv_first(x)
+        body = self.patch_embed(feat)
+        for layer in self.layers:
+            body = layer(body)
+        body = self.norm(body)
+        feat = self.conv_after_body(body) + feat
+        return feat[:, :h_ori, :w_ori]
+
+
+@register("HiTSRF")
+class HiTSRFEncoder(nn.Module):
+    """HiT-SRF feature trunk (ref: esc_arb/models/hit_srf.py:726-936
+    arbitrary-scale path; HiT_SRF() factory defaults). No mean shift."""
+
+    embed_dim: int = 60
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    base_win_size: Sequence[int] = (8, 8)
+    mlp_ratio: float = 2.0
+    hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8)
+    no_upsampling: bool = True
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim
+
+    def setup(self):
+        from super_resolution_tpu.models.hitsrf_arch import (PatchEmbedNorm,
+                                                             RHTB)
+
+        self.conv_first = nn.Conv(self.embed_dim, (3, 3),
+                                  padding=[(1, 1), (1, 1)], name="conv_first")
+        self.patch_embed = PatchEmbedNorm(True, name="patch_embed")
+        self.layers = [
+            RHTB(dim=self.embed_dim, depth=self.depths[i],
+                 num_heads=self.num_heads[i],
+                 base_win_size=tuple(self.base_win_size),
+                 mlp_ratio=self.mlp_ratio,
+                 hier_win_ratios=tuple(self.hier_win_ratios),
+                 name=f"layers_{i}")
+            for i in range(len(self.depths))
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        self.conv_after_body = nn.Conv(self.embed_dim, (3, 3),
+                                       padding=[(1, 1), (1, 1)],
+                                       name="conv_after_body")
+
+    def __call__(self, x):
+        feat = self.conv_first(x)
+        body = self.patch_embed(feat)
+        for layer in self.layers:
+            body = layer(body)
+        body = self.norm(body)
+        return self.conv_after_body(body) + feat

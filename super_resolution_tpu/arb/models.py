@@ -267,3 +267,82 @@ class MetaSR(nn.Module):
 
         pred_w = self.imnet(inp_vec).reshape(*coord.shape[:2], c * 9, 3)
         return jnp.einsum("bqk,bqko->bqo", q_feat, pred_w)
+
+
+@register("lte-fast")
+class LTEP(nn.Module):
+    """LTE+ — grid-query LTE variant with a pointwise-conv head
+    (ref: esc_arb/models/ltep.py:13-110). coord is a (B, Hq, Wq, 2) query
+    GRID; the shared MLP is a stack of 1x1 convs over that grid and the
+    bilinear input skip is added at the end.
+    """
+
+    encoder_spec: Any
+    num_layer: int = 3
+    hidden_dim: int = 256
+    out_dim: int = 3
+
+    def setup(self):
+        self.encoder = make(dict(self.encoder_spec))
+        self.coef = nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="coef")
+        self.freq = nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="freq")
+        self.phase = nn.Dense(self.hidden_dim // 2, use_bias=False,
+                              name="phase")
+        self.head = [nn.Conv(self.hidden_dim, (1, 1), name=f"layers.{2 * i}")
+                     for i in range(self.num_layer)] + \
+                    [nn.Conv(self.out_dim, (1, 1),
+                             name=f"layers.{2 * self.num_layer}")]
+
+    def __call__(self, inp, coord, cell):
+        feat = self.encoder(inp)
+        coef = self.coef(feat)
+        freq = self.freq(feat)
+        b, h, w, _ = feat.shape
+        hq, wq = coord.shape[1], coord.shape[2]
+        coord_flat = coord.reshape(b, hq * wq, 2)
+
+        feat_coord = jnp.asarray(make_coord((h, w), flatten=False))
+        feat_coord = jnp.broadcast_to(feat_coord[None], (b, h, w, 2))
+
+        rx, ry = 1.0 / h, 1.0 / w
+        preds, areas = [], []
+        for vx in (-1, 1):
+            for vy in (-1, 1):
+                shift = jnp.asarray([vx * rx + 1e-6, vy * ry + 1e-6],
+                                    coord.dtype)
+                coord_ = jnp.clip(coord_flat + shift, -1 + 1e-6, 1 - 1e-6)
+                q_coef = _nearest_gather(coef, coord_)
+                q_freq = _nearest_gather(freq, coord_)
+                q_coord = _nearest_gather(feat_coord, coord_)
+                rel = (coord_flat - q_coord) * jnp.asarray([h, w],
+                                                           coord.dtype)
+                rel_cell = cell * jnp.asarray([h, w], coord.dtype)
+
+                # NOTE: unlike lte.py (interleaved channel pairs), ltep.py
+                # splits the frequency channels into two HALVES (y-half,
+                # x-half) — ref: ltep.py:79-81
+                qf = q_freq.reshape(b, hq * wq, 2, self.hidden_dim // 2)
+                qf = jnp.sum(qf * rel[..., :, None], axis=2)
+                qf = qf + self.phase(rel_cell)[:, None, :]
+                qf = jnp.concatenate([jnp.cos(np.pi * qf),
+                                      jnp.sin(np.pi * qf)], axis=-1)
+                y = (q_coef * qf).reshape(b, hq, wq, self.hidden_dim)
+                for i, conv in enumerate(self.head):
+                    y = conv(y)
+                    if i < len(self.head) - 1:
+                        y = nn.relu(y)
+                preds.append(y)
+                areas.append(
+                    (jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
+                    .reshape(b, hq, wq))
+
+        tot = sum(areas)
+        areas = [areas[3], areas[2], areas[1], areas[0]]
+        out = 0
+        for pred, area in zip(preds, areas):
+            out = out + pred * (area / tot)[..., None]
+        grid = jnp.stack([coord_flat[..., 1], coord_flat[..., 0]], axis=-1)
+        skip = grid_sample_bilinear(inp, grid[:, :, None, :])[:, :, 0, :]
+        return out + skip.reshape(b, hq, wq, -1)

@@ -40,15 +40,32 @@ class RawPackBackend:
 
 
 class LmdbBackend:
-    def __init__(self, *args, **kwargs):
+    """Multi-env lmdb reader keyed by client (ref: file_client.py:74-131)."""
+
+    def __init__(self, db_paths, client_keys="default", readonly=True,
+                 lock=False, readahead=False, **kwargs):
         try:
-            import lmdb  # noqa: F401
+            import lmdb
         except ImportError as e:
             raise ImportError(
                 "lmdb is not installed in this environment. Use the "
                 "'rawpack' backend (native decode-free packed datasets, "
                 "data/rawpack_dataset.py) or install python-lmdb.") from e
-        raise NotImplementedError("lmdb backend requires python-lmdb")
+        if isinstance(client_keys, str):
+            client_keys = [client_keys]
+        if isinstance(db_paths, (list, tuple)):
+            db_paths = [str(v) for v in db_paths]
+        else:
+            db_paths = [str(db_paths)]
+        assert len(client_keys) == len(db_paths)
+        self._client = {k: lmdb.open(p, readonly=readonly, lock=lock,
+                                     readahead=readahead, **kwargs)
+                        for k, p in zip(client_keys, db_paths)}
+
+    def get(self, filepath, client_key="default"):
+        client = self._client[client_key]
+        with client.begin(write=False) as txn:
+            return txn.get(str(filepath).encode("ascii"))
 
 
 class MemcachedBackend:

@@ -182,3 +182,27 @@ def test_edvr_model_train_smoke(tmp_path):
                for path in flat0}
     assert any(v for k, v in changed.items() if "fusion" in k)
     assert not any(v for k, v in changed.items() if "fusion" not in k)
+
+
+def test_lmdb_roundtrip(tmp_path):
+    """LmdbMaker -> LmdbBackend roundtrip (skipped without python-lmdb;
+    the in-image equivalent is RawPack, covered by test_rawpack.py)."""
+    import pytest
+
+    pytest.importorskip("lmdb")
+    import cv2
+
+    from super_resolution_tpu.utils.file_client import FileClient
+    from super_resolution_tpu.utils.lmdb_util import LmdbMaker
+
+    img = (np.random.default_rng(0).random((8, 9, 3)) * 255).astype(np.uint8)
+    _, img_byte = cv2.imencode(".png", img)
+    path = str(tmp_path / "test.lmdb")
+    maker = LmdbMaker(path)
+    maker.put(img_byte.tobytes(), "a", img.shape)
+    maker.close()
+    client = FileClient("lmdb", db_paths=path, client_keys="gt")
+    from super_resolution_tpu.utils.img import imfrombytes
+
+    out = imfrombytes(client.get("a", "gt"))
+    np.testing.assert_array_equal(out, img)
