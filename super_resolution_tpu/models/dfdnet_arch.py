@@ -25,14 +25,16 @@ from super_resolution_tpu.ops.conv import conv2d_nhwc
 from super_resolution_tpu.ops.degrade import resize_to
 from super_resolution_tpu.utils.registry import ARCH_REGISTRY
 
-_BLUR_KERNEL = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0],
-                            [1.0, 2.0, 1.0]]) / 16.0
+# plain python constant: a module-level jnp array would initialize the JAX
+# backend at import time, pinning the platform before runners can select it
+_BLUR_KERNEL = [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]
 
 
 def _blur(x):
     """3x3 binomial depthwise blur (ref: dfdnet_util.py:41-54)."""
     c = x.shape[-1]
-    k = jnp.broadcast_to(_BLUR_KERNEL[None, None], (c, 1, 3, 3))
+    kern = jnp.asarray(_BLUR_KERNEL, x.dtype) / 16.0
+    k = jnp.broadcast_to(kern[None, None], (c, 1, 3, 3))
     return conv2d_nhwc(x, k, padding=1, groups=c)
 
 
