@@ -73,6 +73,14 @@ def run_train(opt: dict, opt_path: str | None = None, mesh=None):
     logger = get_root_logger(log_level=logging.INFO, log_file=log_file)
     logger.info(get_env_info())
     logger.info(dict2str(opt))
+    # wandb initializes BEFORE tb so sync_tensorboard captures it
+    # (ref: basicsr/train.py:17-26 precedence rule)
+    if (opt.get("logger", {}).get("wandb") or {}).get("project") is not None:
+        from super_resolution_tpu.utils.logger import init_wandb_logger
+
+        assert opt["logger"].get("use_tb_logger"), \
+            "should turn on tensorboard when using wandb"
+        init_wandb_logger(opt)
     tb_logger = (init_tb_logger(osp.join(opt["path"]["log"], "tb_logger"))
                  if opt.get("logger", {}).get("use_tb_logger") else None)
 

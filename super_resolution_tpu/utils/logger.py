@@ -137,6 +137,30 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+@master_only
+def init_wandb_logger(opt: dict):
+    """W&B sync-to-tensorboard (ref: basicsr/utils/logger.py:125-143 —
+    must initialize BEFORE the tb logger; import-gated, wandb is optional).
+    """
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning("wandb is not installed; skipping.")
+        return None
+    logger = get_root_logger()
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id, resume = resume_id, "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id, resume = wandb.util.generate_id(), "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt["name"], config=opt,
+               project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
+    return wandb
+
+
 def get_env_info() -> str:
     import jax
 
