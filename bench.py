@@ -42,7 +42,7 @@ def main():
 
     scale = 4
     h, w = 720, 1280
-    tile_size, tile_pad, chunk = 256, 32, 4
+    tile_size, tile_pad, chunk = 256, 32, 8
 
     net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
               window_size=16, compress_ratio=3, squeeze_factor=30,

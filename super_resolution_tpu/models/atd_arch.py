@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from super_resolution_tpu.models.arch_util import gelu_exact
 from super_resolution_tpu.models.hat_classic_arch import PatchEmbedNorm
-from super_resolution_tpu.ops.attention import (attention_with_bias,
+from super_resolution_tpu.ops.attention import (attention_with_bias, attention_with_bias_auto,
                                                 relative_position_index_sa,
                                                 shift_attn_mask)
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
@@ -106,7 +106,7 @@ class WindowAttentionATD(nn.Module):
             out = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
             out = out.reshape(bw, h, n, d)
         else:
-            out = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
+            out = attention_with_bias_auto(q, k, v, bias, scale=d ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         return self.proj(out)
 

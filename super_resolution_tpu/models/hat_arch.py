@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from super_resolution_tpu.models.arch_util import MLP, MeanShift, drop_path, gelu_exact
 from super_resolution_tpu.models.esc_arch import ConvAttnWrapper, orthogonal_oihw
-from super_resolution_tpu.ops.attention import (attention_with_bias,
+from super_resolution_tpu.ops.attention import (attention_with_bias_auto, attention_with_bias,
                                                 relative_position_index_oca)
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
 from super_resolution_tpu.ops.windowing import (extract_overlap_windows,
@@ -238,7 +238,7 @@ class OCAB(nn.Module):
 
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
-        out = attention_with_bias(qh, kh, vh, bias, scale=d ** -0.5)
+        out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
 
         out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
         x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)

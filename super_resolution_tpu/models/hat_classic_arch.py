@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from super_resolution_tpu.models.arch_util import MeanShift, drop_path, gelu_exact
-from super_resolution_tpu.ops.attention import (attention_with_bias,
+from super_resolution_tpu.ops.attention import (attention_with_bias, attention_with_bias_auto,
                                                 relative_position_index_oca,
                                                 relative_position_index_sa,
                                                 shift_attn_mask)
@@ -114,7 +114,7 @@ class WindowAttentionClassic(nn.Module):
             out = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
             out = out.reshape(bw, h, n, d)
         else:
-            out = attention_with_bias(q, k, v, bias, scale=d ** -0.5)
+            out = attention_with_bias_auto(q, k, v, bias, scale=d ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         return self.proj(out)
 
@@ -228,7 +228,7 @@ class OCABClassic(nn.Module):
 
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
-        out = attention_with_bias(qh, kh, vh, bias, scale=d ** -0.5)
+        out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
 
         x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)

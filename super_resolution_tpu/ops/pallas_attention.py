@@ -69,7 +69,34 @@ def fused_attention(q, k, v, bias, *, scale: float | None = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    tw = min(block_windows, bw)
+    # Cap the window count per pallas call: the (heads, BW, N, d) operand
+    # layout the kernel wants forces XLA to materialize transposed copies of
+    # q/k/v, so one giant call costs ~3x qkv in HBM. An outer lax.map over
+    # window slabs bounds that to ~400 windows of copies at a time.
+    slab = 512
+    if bw > slab and not interpret:
+        pad = (-bw) % slab
+        if pad:
+            padw = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            q, k, v = padw(q), padw(k), padw(v)
+        m = q.shape[0] // slab
+        out = jax.lax.map(
+            lambda qkv: fused_attention(qkv[0], qkv[1], qkv[2], bias,
+                                        scale=scale,
+                                        block_windows=block_windows,
+                                        interpret=interpret),
+            (q.reshape((m, slab) + q.shape[1:]),
+             k.reshape((m, slab) + k.shape[1:]),
+             v.reshape((m, slab) + v.shape[1:])))
+        return out.reshape((m * slab,) + out.shape[2:])[:bw]
+
+    # fit the per-program working set in scoped VMEM (~16MB): scores (twice:
+    # s and p), q/k/v/out with the head dim padded to a full 128 lane
+    dpad = max(d, 128)
+    per_window = 4 * (2 * nq * nk + 3 * nk * dpad + 2 * nq * dpad)
+    budget = 10 * 1024 * 1024
+    tw = max(1, min(block_windows, bw, budget // per_window))
     pad = (-bw) % tw
     if pad:
         q = jnp.concatenate([q, jnp.zeros((pad,) + q.shape[1:], q.dtype)])
