@@ -73,3 +73,54 @@ def pad_batch_to_multiple(batch: Any, multiple: int):
     padded = jax.tree.map(
         lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]), batch)
     return padded, n
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Multi-host initialization — the dist_util analog
+    (ref: basicsr/utils/dist_util.py:10-57: NCCL init from env or Slurm).
+
+    On TPU pods jax.distributed.initialize() autodetects everything; env
+    overrides (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID)
+    mirror the reference's RANK/WORLD_SIZE plumbing. Returns
+    (process_index, process_count); a no-op single-process fallback when
+    no multi-host environment is detected.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") \
+            or os.environ.get("TPU_WORKER_HOSTNAMES"):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes or _env_int("JAX_NUM_PROCESSES"),
+                process_id=process_id or _env_int("JAX_PROCESS_ID"))
+        except RuntimeError:
+            pass  # already initialized
+    return jax.process_index(), jax.process_count()
+
+
+def _env_int(name: str):
+    import os
+
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def all_sum_across_processes(values: dict) -> dict:
+    """Sum a dict of python floats across processes (metric reduction for
+    process-sharded validation — SURVEY.md §5.8: the reference computes
+    validation on rank 0 only; sharding eval over hosts is a pure win)."""
+    if jax.process_count() == 1:
+        return dict(values)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    local = np.asarray([values[k] for k in keys], np.float64)
+    gathered = multihost_utils.process_allgather(local)
+    summed = np.asarray(gathered).sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, summed)}

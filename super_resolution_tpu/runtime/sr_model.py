@@ -234,7 +234,52 @@ class SRModel:
 
     def validation(self, dataloader, current_iter, tb_logger=None,
                    save_img: bool = False):
-        self.nondist_validation(dataloader, current_iter, tb_logger, save_img)
+        if jax.process_count() > 1:
+            self.dist_validation(dataloader, current_iter, tb_logger, save_img)
+        else:
+            self.nondist_validation(dataloader, current_iter, tb_logger,
+                                    save_img)
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img):
+        """Process-sharded validation: each host evaluates images
+        [process_index::process_count], metric sums reduce globally. An
+        improvement over the reference's rank-0-only dist validation
+        (ref: sr_model.py:180-182; SURVEY.md §5.8)."""
+        from super_resolution_tpu.parallel.mesh import all_sum_across_processes
+
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt["name"]
+        metrics_opt = self.opt.get("val", {}).get("metrics")
+        if not metrics_opt:
+            self.nondist_validation(dataloader, current_iter, tb_logger,
+                                    save_img)
+            return
+        self._initialize_best_metric_results(dataset_name)
+        rank, world = jax.process_index(), jax.process_count()
+        sums = {m: 0.0 for m in metrics_opt}
+        count = 0
+        for idx in range(rank, len(dataset), world):
+            val_data = dataset[idx]
+            self.feed_data({k: (v[None] if hasattr(v, "ndim") else v)
+                            for k, v in val_data.items()})
+            self._run_inference()
+            visuals = self.get_current_visuals()
+            metric_data = {"img": tensor2img(visuals["result"])}
+            if "gt" in visuals:
+                metric_data["img2"] = tensor2img(visuals["gt"])
+            for name, opt_ in metrics_opt.items():
+                sums[name] += calculate_metric(metric_data, opt_)
+            count += 1
+        sums["__count"] = float(count)
+        totals = all_sum_across_processes(sums)
+        n = max(totals.pop("__count"), 1.0)
+        self.metric_results = {m: v / n for m, v in totals.items()}
+        if rank == 0:
+            for metric, value in self.metric_results.items():
+                self._update_best_metric_result(dataset_name, metric, value,
+                                                current_iter)
+            self._log_validation_metric_values(current_iter, dataset_name,
+                                               tb_logger)
 
     def _initialize_best_metric_results(self, dataset_name: str):
         if dataset_name in self.best_metric_results:

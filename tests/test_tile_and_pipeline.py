@@ -174,3 +174,41 @@ def test_tile_forward_multichip_mesh(rng):
                                                 mesh=mesh))
     multi = np.asarray(multi_fn(x))
     np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_dist_validation_single_process(tmp_path, rng):
+    """dist_validation degrades to the full eval under one process and
+    matches nondist results."""
+    import numpy as np
+
+    import jax
+
+    from super_resolution_tpu.data import EvalLoader
+    from super_resolution_tpu.data.paired_dataset import PairedImageDataset
+    from super_resolution_tpu.runtime import build_model
+    from super_resolution_tpu.utils.img import imwrite
+
+    gt_dir, lq_dir = tmp_path / "gt", tmp_path / "lq"
+    r = np.random.default_rng(0)
+    for name in ("a", "b", "c"):
+        gt = (r.random((16, 16, 3)) * 255).astype(np.uint8)
+        imwrite(gt, str(gt_dir / f"{name}.png"))
+        imwrite(gt[::2, ::2], str(lq_dir / f"{name}x2.png"))
+    opt = {
+        "name": "distval", "model_type": "SRModel", "scale": 2,
+        "is_train": False, "manual_seed": 0,
+        "network_g": {"type": "EDSR", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "path": {"visualization": str(tmp_path / "vis")},
+        "val": {"metrics": {"psnr": {"type": "calculate_psnr",
+                                     "crop_border": 2}}},
+    }
+    model = build_model(opt)
+    ds = PairedImageDataset({"name": "distval", "phase": "val", "scale": 2,
+                             "dataroot_gt": str(gt_dir),
+                             "dataroot_lq": str(lq_dir),
+                             "io_backend": {"type": "disk"}})
+    model.dist_validation(EvalLoader(ds), 1, None, False)
+    dist_psnr = model.metric_results["psnr"]
+    model.nondist_validation(EvalLoader(ds), 1, None, False)
+    assert abs(dist_psnr - model.metric_results["psnr"]) < 1e-9
