@@ -105,7 +105,7 @@ def window_msa(qkv_windows, num_heads: int, bias, scale=None, precision=None):
     return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
 
 
-def attention_with_bias_auto(q, k, v, bias, scale=None, slab: int = 512):
+def attention_with_bias_auto(q, k, v, bias, scale=None, slab: int = 640):
     """Memory-bounded window attention for big window batches.
 
     A single einsum over all windows of a tile batch materializes the full
