@@ -145,15 +145,32 @@ def _collate(items: list) -> dict:
 
 
 def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1,
-                     dist: bool = False, sampler=None, seed: int = 0):
-    """Reference-compatible surface (ref: data/__init__.py:40-94)."""
+                     dist: bool = False, sampler=None, seed: int = 0,
+                     mesh=None):
+    """Reference-compatible surface (ref: data/__init__.py:40-94).
+
+    batch_size_per_gpu means per-DEVICE, matching the reference's per-GPU
+    semantics (global batch = batch_size_per_gpu x num_gpu). The train step
+    shards the loaded batch over the mesh's 'data' axis, so each process
+    must load batch_size_per_gpu x (local data-axis devices) samples.
+    """
     phase = dataset_opt["phase"]
     if phase == "train":
         import jax
 
+        per_device = dataset_opt["batch_size_per_gpu"]
+        local_devices = 1
+        if mesh is not None:
+            data_size = int(mesh.shape.get("data", 1))
+            procs = jax.process_count()
+            if data_size % procs:
+                raise ValueError(
+                    f"mesh 'data' axis ({data_size} devices) must divide "
+                    f"evenly across {procs} processes")
+            local_devices = data_size // procs
         return TrainLoader(
             dataset,
-            batch_size=dataset_opt["batch_size_per_gpu"],
+            batch_size=per_device * local_devices,
             world_size=jax.process_count(), rank=jax.process_index(),
             ratio=dataset_opt.get("dataset_enlarge_ratio", 1), seed=seed)
     return EvalLoader(dataset)

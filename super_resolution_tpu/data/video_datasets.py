@@ -23,38 +23,36 @@ from super_resolution_tpu.utils.misc import scandir
 from super_resolution_tpu.utils.registry import DATASET_REGISTRY
 
 
+# Edge-padding policies for sliding-window clips, vectorized over the raw
+# (possibly out-of-range) index vector. Each maps (raw, center, last, half)
+# -> substitute indices used where raw falls outside [0, last].
+_EDGE_PAD_FNS = {
+    "replicate": lambda raw, c, last, half: np.where(raw < 0, 0, last),
+    "reflection": lambda raw, c, last, half: np.where(
+        raw < 0, -raw, 2 * last - raw),
+    "reflection_circle": lambda raw, c, last, half: np.where(
+        raw < 0, c + half - raw, (c - half) - (raw - last)),
+    "circle": lambda raw, c, last, half: np.where(
+        raw < 0, raw + 2 * half + 1, raw - (2 * half + 1)),
+}
+
+
 def generate_frame_indices(crt_idx: int, max_frame_num: int, num_frames: int,
                            padding: str = "reflection"):
-    """(ref: data_util.py:43-93)."""
-    assert num_frames % 2 == 1, "num_frames should be an odd number."
-    assert padding in ("replicate", "reflection", "reflection_circle",
-                       "circle"), f"Wrong padding mode: {padding}."
-    max_frame_num = max_frame_num - 1
-    num_pad = num_frames // 2
-    indices = []
-    for i in range(crt_idx - num_pad, crt_idx + num_pad + 1):
-        if i < 0:
-            if padding == "replicate":
-                pad_idx = 0
-            elif padding == "reflection":
-                pad_idx = -i
-            elif padding == "reflection_circle":
-                pad_idx = crt_idx + num_pad - i
-            else:
-                pad_idx = num_frames + i
-        elif i > max_frame_num:
-            if padding == "replicate":
-                pad_idx = max_frame_num
-            elif padding == "reflection":
-                pad_idx = max_frame_num * 2 - i
-            elif padding == "reflection_circle":
-                pad_idx = (crt_idx - num_pad) - (i - max_frame_num)
-            else:
-                pad_idx = i - num_frames
-        else:
-            pad_idx = i
-        indices.append(pad_idx)
-    return indices
+    """Sliding-window frame indices centered on crt_idx, with out-of-range
+    positions substituted per the chosen edge policy (behavioral spec:
+    ref data_util.py:43-93)."""
+    if num_frames % 2 != 1:
+        raise ValueError(f"window length must be odd, got {num_frames}")
+    if padding not in _EDGE_PAD_FNS:
+        raise ValueError(f"unknown edge-padding mode {padding!r}; choose "
+                         f"from {sorted(_EDGE_PAD_FNS)}")
+    half = num_frames // 2
+    last = max_frame_num - 1
+    raw = np.arange(crt_idx - half, crt_idx + half + 1)
+    substitute = _EDGE_PAD_FNS[padding](raw, crt_idx, last, half)
+    return [int(v) for v in np.where((raw >= 0) & (raw <= last), raw,
+                                     substitute)]
 
 
 def read_img_seq(path, require_mod_crop: bool = False, scale: int = 1,

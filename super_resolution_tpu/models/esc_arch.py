@@ -27,6 +27,7 @@ from typing import Any
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -154,8 +155,8 @@ class WindowAttentionESC(nn.Module):
         self.to_out = nn.Conv(self.dim, (1, 1), name="to_out")
         self.relative_position_bias = self.param(
             "relative_position_bias",
-            lambda key, shape: 0.001 * jnp.asarray(
-                np.random.default_rng(0).standard_normal(shape), jnp.float32),
+            lambda key, shape: 0.001 * jax.random.normal(key, shape,
+                                                         jnp.float32),
             (self.num_heads, (2 * self.window_size - 1) ** 2))
         self._rpe_idx = esc_rpe_index(self.window_size)
 

@@ -21,17 +21,27 @@ def multistep_restart_lr(base_lr: float, milestones: Sequence[int],
                          restarts: Sequence[int] = (0,),
                          restart_weights: Sequence[float] = (1,)):
     """Step decay at milestones; LR resets (scaled by restart weight) at
-    restart iters."""
+    restart iters. Matching the reference's stateful scheduler
+    (ref: lr_scheduler.py:27-33): a restart resets LR to initial_lr*weight,
+    so milestones at or before the restart boundary stop contributing;
+    duplicated milestones decay multiple times (Counter semantics)."""
+    order = np.argsort(restarts)
+    restarts = np.asarray(restarts)[order]
+    weights = np.asarray(restart_weights, dtype=np.float64)[order]
     milestones = np.asarray(sorted(milestones))
-    restarts = np.asarray(sorted(restarts))
-    weights = np.asarray(restart_weights, dtype=np.float64)
 
     def schedule(step):
         step = jnp.asarray(step)
-        n_decays = jnp.sum(step >= jnp.asarray(milestones)) if len(milestones) else 0
-        # restart weight of the current cycle
-        idx = jnp.sum(step >= jnp.asarray(restarts)) - 1
-        w = jnp.asarray(weights)[jnp.clip(idx, 0, len(weights) - 1)]
+        # current restart boundary (0 when none passed yet) and its weight
+        idx = jnp.clip(jnp.sum(step >= jnp.asarray(restarts)) - 1,
+                       0, len(weights) - 1)
+        boundary = jnp.asarray(restarts)[idx]
+        w = jnp.asarray(weights)[idx]
+        if len(milestones):
+            m = jnp.asarray(milestones)
+            n_decays = jnp.sum((step >= m) & (m > boundary))
+        else:
+            n_decays = 0
         return base_lr * w * (gamma ** n_decays)
 
     return schedule

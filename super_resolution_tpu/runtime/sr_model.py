@@ -172,6 +172,14 @@ class SRModel:
         if self.mesh is not None:
             from super_resolution_tpu.parallel.mesh import shard_batch
 
+            n = data["lq"].shape[0] * jax.process_count()
+            data_axis = int(self.mesh.shape.get("data", 1))
+            if n % data_axis:
+                raise ValueError(
+                    f"global batch {n} does not divide the mesh 'data' axis "
+                    f"({data_axis} devices); set batch_size_per_gpu so that "
+                    f"batch_size_per_gpu x devices is loaded per step "
+                    f"(build_dataloader does this when given the mesh)")
             data = shard_batch(data, self.mesh)
         self.state, logs = self._train_step(self.state, data, rng)
         # publish the trained params to the inference path

@@ -37,13 +37,13 @@ def load_resume_state(opt: dict):
     return resume_path
 
 
-def create_train_val_dataloaders(opt: dict, logger):
+def create_train_val_dataloaders(opt: dict, logger, mesh=None):
     train_loader, val_loaders = None, []
     for phase, dataset_opt in opt["datasets"].items():
         if phase == "train":
             train_set = build_dataset(dataset_opt)
             train_loader = build_dataloader(train_set, dataset_opt,
-                                            seed=opt["manual_seed"])
+                                            seed=opt["manual_seed"], mesh=mesh)
             num_iter_per_epoch = max(1, len(train_loader))
             total_iters = int(opt["train"]["total_iter"])
             total_epochs = math.ceil(total_iters / num_iter_per_epoch)
@@ -84,7 +84,8 @@ def run_train(opt: dict, opt_path: str | None = None, mesh=None):
     tb_logger = (init_tb_logger(osp.join(opt["path"]["log"], "tb_logger"))
                  if opt.get("logger", {}).get("use_tb_logger") else None)
 
-    train_loader, val_loaders = create_train_val_dataloaders(opt, logger)
+    train_loader, val_loaders = create_train_val_dataloaders(opt, logger,
+                                                             mesh=mesh)
 
     model = build_model(opt)
     model.setup_training(mesh=mesh)

@@ -42,6 +42,33 @@ def test_multistep_schedule():
     assert float(sched(12)) == pytest.approx(1e-5)
 
 
+def test_multistep_restart_schedule_matches_reference():
+    """Restart resets LR to initial_lr*weight; pre-restart milestones stop
+    contributing (ref: lr_scheduler.py:27-33)."""
+    from reference_oracle import install_stubs
+    install_stubs()
+    import torch
+    from basicsr.models.lr_scheduler import MultiStepRestartLR
+
+    from super_resolution_tpu.runtime.schedulers import multistep_restart_lr
+
+    base_lr = 1e-3
+    milestones = [5, 12, 25]
+    restarts = [10, 20]
+    weights = [0.5, 0.25]
+    p = torch.nn.Parameter(torch.zeros(1))
+    optim = torch.optim.Adam([p], lr=base_lr)
+    ref_sched = MultiStepRestartLR(optim, milestones=milestones, gamma=0.1,
+                                   restarts=restarts, restart_weights=weights)
+    sched = multistep_restart_lr(base_lr, milestones, gamma=0.1,
+                                 restarts=[0] + restarts,
+                                 restart_weights=[1.0] + weights)
+    for it in range(30):
+        ref_lr = optim.param_groups[0]["lr"]
+        assert float(sched(it)) == pytest.approx(ref_lr, rel=1e-6), f"iter {it}"
+        ref_sched.step()
+
+
 def test_warmup():
     from super_resolution_tpu.runtime.schedulers import (multistep_restart_lr,
                                                          with_warmup)
@@ -50,6 +77,32 @@ def test_warmup():
     assert float(sched(0)) == pytest.approx(1e-4)
     assert float(sched(9)) == pytest.approx(1e-3)
     assert float(sched(100)) == pytest.approx(1e-3)
+
+
+def test_build_dataloader_scales_batch_by_mesh_devices():
+    """With a mesh, the per-process batch is batch_size_per_gpu x local
+    data-axis devices, matching the reference's per-GPU semantics
+    (global batch = batch_size_per_gpu x num_gpu)."""
+    from super_resolution_tpu.data import build_dataloader
+    from super_resolution_tpu.parallel.mesh import make_mesh
+
+    class _FakeDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"lq": np.zeros((4, 4, 3), np.float32),
+                    "gt": np.zeros((8, 8, 3), np.float32)}
+
+    opt = {"phase": "train", "batch_size_per_gpu": 2}
+    mesh = make_mesh(8)
+    loader = build_dataloader(_FakeDataset(), opt, mesh=mesh)
+    assert loader.batch_size == 16  # 2 per device x 8 devices, 1 process
+    batch = next(iter(loader.epoch_iter(0)))
+    assert batch["lq"].shape[0] == 16
+    # without a mesh: single-device semantics
+    loader1 = build_dataloader(_FakeDataset(), opt)
+    assert loader1.batch_size == 2
 
 
 def _tiny_train_opt():
