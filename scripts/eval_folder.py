@@ -34,7 +34,10 @@ def main():
     accum: dict = {}
     for i, sr_path in enumerate(sr_paths):
         sr = imread(sr_path)
-        row = {"niqe": float(calculate_niqe(sr, args.crop_border))}
+        row = {}
+        # NIQE needs at least one 96x96 block after the border crop
+        if min(sr.shape[:2]) - 2 * args.crop_border >= 96:
+            row["niqe"] = float(calculate_niqe(sr, args.crop_border))
         if hr_paths:
             hr = imread(hr_paths[i])
             h = min(sr.shape[0], hr.shape[0])

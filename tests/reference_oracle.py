@@ -131,7 +131,132 @@ def install_stubs() -> None:
         return _VGG()
 
     vgg_stub.vgg19 = _tv_vgg19
-    tvm = _make_mod("torchvision.models", vgg=vgg_stub)
+
+    # functional torchvision.models.inception so the reference's FID
+    # InceptionV3 (basicsr/archs/inception.py) builds and runs on CPU with
+    # random weights (FID subclasses override A/C/E forwards; the stub's
+    # stem + B/D forwards and all module trees/shapes match torchvision)
+    import torch.nn.functional as _F
+
+    class _BasicConv2d(_nn.Module):
+        def __init__(self, in_ch, out_ch, **kw):
+            super().__init__()
+            self.conv = _nn.Conv2d(in_ch, out_ch, bias=False, **kw)
+            self.bn = _nn.BatchNorm2d(out_ch, eps=0.001)
+
+        def forward(self, x):
+            return _F.relu(self.bn(self.conv(x)), inplace=True)
+
+    class _InceptionA(_nn.Module):
+        def __init__(self, in_channels, pool_features, conv_block=None):
+            super().__init__()
+            cb = conv_block or _BasicConv2d
+            self.branch1x1 = cb(in_channels, 64, kernel_size=1)
+            self.branch5x5_1 = cb(in_channels, 48, kernel_size=1)
+            self.branch5x5_2 = cb(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = cb(in_channels, 64, kernel_size=1)
+            self.branch3x3dbl_2 = cb(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = cb(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = cb(in_channels, pool_features, kernel_size=1)
+
+    class _InceptionB(_nn.Module):
+        def __init__(self, in_channels, conv_block=None):
+            super().__init__()
+            cb = conv_block or _BasicConv2d
+            self.branch3x3 = cb(in_channels, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = cb(in_channels, 64, kernel_size=1)
+            self.branch3x3dbl_2 = cb(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = cb(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            a = self.branch3x3(x)
+            b = self.branch3x3dbl_3(
+                self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            c = _F.max_pool2d(x, kernel_size=3, stride=2)
+            return torch.cat([a, b, c], 1)
+
+    class _InceptionC(_nn.Module):
+        def __init__(self, in_channels, channels_7x7, conv_block=None):
+            super().__init__()
+            cb = conv_block or _BasicConv2d
+            c7 = channels_7x7
+            self.branch1x1 = cb(in_channels, 192, kernel_size=1)
+            self.branch7x7_1 = cb(in_channels, c7, kernel_size=1)
+            self.branch7x7_2 = cb(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = cb(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = cb(in_channels, c7, kernel_size=1)
+            self.branch7x7dbl_2 = cb(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = cb(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = cb(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = cb(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = cb(in_channels, 192, kernel_size=1)
+
+    class _InceptionD(_nn.Module):
+        def __init__(self, in_channels, conv_block=None):
+            super().__init__()
+            cb = conv_block or _BasicConv2d
+            self.branch3x3_1 = cb(in_channels, 192, kernel_size=1)
+            self.branch3x3_2 = cb(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = cb(in_channels, 192, kernel_size=1)
+            self.branch7x7x3_2 = cb(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = cb(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = cb(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            a = self.branch3x3_2(self.branch3x3_1(x))
+            b = self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x))))
+            c = _F.max_pool2d(x, kernel_size=3, stride=2)
+            return torch.cat([a, b, c], 1)
+
+    class _InceptionE(_nn.Module):
+        def __init__(self, in_channels, conv_block=None):
+            super().__init__()
+            cb = conv_block or _BasicConv2d
+            self.branch1x1 = cb(in_channels, 320, kernel_size=1)
+            self.branch3x3_1 = cb(in_channels, 384, kernel_size=1)
+            self.branch3x3_2a = cb(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = cb(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = cb(in_channels, 448, kernel_size=1)
+            self.branch3x3dbl_2 = cb(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = cb(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = cb(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = cb(in_channels, 192, kernel_size=1)
+
+    class _Inception3(_nn.Module):
+        def __init__(self, num_classes=1000, aux_logits=True):
+            super().__init__()
+            self.Conv2d_1a_3x3 = _BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = _BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = _BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = _BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = _BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = _InceptionA(192, pool_features=32)
+            self.Mixed_5c = _InceptionA(256, pool_features=64)
+            self.Mixed_5d = _InceptionA(288, pool_features=64)
+            self.Mixed_6a = _InceptionB(288)
+            self.Mixed_6b = _InceptionC(768, channels_7x7=128)
+            self.Mixed_6c = _InceptionC(768, channels_7x7=160)
+            self.Mixed_6d = _InceptionC(768, channels_7x7=160)
+            self.Mixed_6e = _InceptionC(768, channels_7x7=192)
+            self.Mixed_7a = _InceptionD(768)
+            self.Mixed_7b = _InceptionE(1280)
+            self.Mixed_7c = _InceptionE(2048)
+            self.fc = _nn.Linear(2048, num_classes)
+
+    def _tv_inception_v3(num_classes=1000, aux_logits=True, pretrained=False,
+                         init_weights=None, **kwargs):
+        assert not pretrained, "stub has no pretrained weights"
+        return _Inception3(num_classes=num_classes, aux_logits=aux_logits)
+
+    inception_stub = _make_mod(
+        "torchvision.models.inception", BasicConv2d=_BasicConv2d,
+        InceptionA=_InceptionA, InceptionB=_InceptionB,
+        InceptionC=_InceptionC, InceptionD=_InceptionD,
+        InceptionE=_InceptionE, Inception3=_Inception3,
+        inception_v3=_tv_inception_v3)
+    tvm = _make_mod("torchvision.models", vgg=vgg_stub,
+                    inception=inception_stub, inception_v3=_tv_inception_v3)
     tvt = _make_mod("torchvision.transforms")
     tvtf = _make_mod("torchvision.transforms.functional",
                      normalize=lambda *a, **k: None)
