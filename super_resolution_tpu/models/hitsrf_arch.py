@@ -296,12 +296,22 @@ class HiT_SRF(nn.Module):
     num_heads: Sequence[int] = (6, 6, 6, 6)
     base_win_size: Sequence[int] = (8, 8)
     mlp_ratio: float = 2.0
+    # The shipped HiT-SRF configs say `expansion_factor`, which the torch
+    # class swallows via **kwargs (ref: hitsrf_arch.py:722-729 — it defaults
+    # mlp_ratio=2, coinciding with the config value). We accept it as an
+    # explicit FFN-ratio alias instead of dropping it silently.
+    expansion_factor: float | None = None
     patch_norm: bool = True
     upscale: int = 4
     img_range: float = 1.0
     upsampler: str = "pixelshuffledirect"
     resi_connection: str = "1conv"
     hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8)
+
+    @property
+    def _mlp_ratio(self) -> float:
+        return (self.mlp_ratio if self.expansion_factor is None
+                else float(self.expansion_factor))
 
     def setup(self):
         import math
@@ -314,7 +324,7 @@ class HiT_SRF(nn.Module):
             RHTB(dim=self.embed_dim, depth=self.depths[i],
                  num_heads=self.num_heads[i],
                  base_win_size=tuple(self.base_win_size),
-                 mlp_ratio=self.mlp_ratio,
+                 mlp_ratio=self._mlp_ratio,
                  hier_win_ratios=tuple(self.hier_win_ratios),
                  name=f"layers_{i}")
             for i in range(len(self.depths))
