@@ -3,9 +3,13 @@
 Protocol (mirrors the reference's direct-metrics harness,
 HAT/ESC/scripts/test_direct_metrics.py: warmup then repeated timed runs on a
 fixed synthetic input): a 1280x720 (HD) LR image upscaled x4 through the
-full on-device tile engine (tile 256, halo 32 — options/test/
-HAT_tile_example.yml numbers) with the flagship fork-HAT base config
+full on-device tile engine with the flagship fork-HAT base config
 (embed 180, 6x6 RHAG, window 16 — options/test/HAT_SRx4.yml:49-64).
+
+Inference runs the bf16 mixed-precision policy (utils/precision.py; f32
+softmax/LN stats) whose PSNR cost is pinned <= 0.01 dB by
+tests/test_precision.py. Override with BENCH_DTYPE=float32 for the f32
+number. BENCH_TILE / BENCH_PAD / BENCH_CHUNK override the tile plan.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the PyTorch-CPU reference running the same
@@ -16,6 +20,7 @@ fork-HAT on one 320x320 tile (see BASELINE_LOCAL in this file; target is
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -39,10 +44,16 @@ def main():
 
     from super_resolution_tpu.models.hat_arch import HAT
     from super_resolution_tpu.runtime.tile import tile_forward
+    from super_resolution_tpu.utils.precision import (cast_floating,
+                                                      resolve_dtype,
+                                                      wrap_apply)
 
     scale = 4
     h, w = 720, 1280
-    tile_size, tile_pad, chunk = 256, 32, 8
+    tile_size = int(os.environ.get("BENCH_TILE", 256))
+    tile_pad = int(os.environ.get("BENCH_PAD", 32))
+    chunk = int(os.environ.get("BENCH_CHUNK", 8))
+    dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
               window_size=16, compress_ratio=3, squeeze_factor=30,
@@ -50,12 +61,16 @@ def main():
               upscale=scale, upsampler="pixelshuffle")
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+    if dtype is not None:
+        params = cast_floating(params, dtype)
+    apply_fn = wrap_apply(
+        lambda p, t: net.apply({"params": p}, t), dtype)
 
     @jax.jit
     def run(params, img):
         # checksum forces full execution; fetching 4 bytes instead of the
         # 170MB output keeps tunnel transfer out of the timing
-        out = tile_forward(lambda t: net.apply({"params": params}, t), img,
+        out = tile_forward(lambda t: apply_fn(params, t), img,
                            scale, tile_size, tile_pad, chunk=chunk)
         return jnp.mean(out)
 
@@ -75,12 +90,33 @@ def main():
 
     out_mpix = h * scale * w * scale / 1e6
     value = out_mpix / dt
+
+    # Urban100-shaped leg: the BASELINE metric is defined on Urban100 x4
+    # tiled inference (BASELINE.md north star). The dataset isn't mounted;
+    # a representative LR shape (176x256 — Urban100 GTs are ~1024x680,
+    # mod-cropped /4) runs the same tiled path. Urban100 LRs are smaller
+    # than one 256-tile, so this is the per-image (whole-image-sized tile)
+    # regime rather than the HD multi-tile regime.
+    uh, uw = 176, 256
+    xu = jnp.asarray(np.random.default_rng(1).random((1, uh, uw, 3)),
+                     jnp.float32)
+    float(run(params, xu))  # compile
+    utimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, xu))
+        utimes.append(time.perf_counter() - t0)
+    uvalue = uh * scale * uw * scale / 1e6 / float(np.median(utimes))
+
     print(json.dumps({
         "metric": "HAT-base x4 tiled inference throughput (HD input, "
-                  "tile 256/pad 32, 1 chip)",
+                  f"tile {tile_size}/pad {tile_pad}, "
+                  f"{'bf16' if dtype is not None else 'f32'}, 1 chip)",
         "value": round(value, 3),
         "unit": "out_Mpix/s",
         "vs_baseline": round(value / BASELINE_LOCAL_OUT_MPIX_S, 2),
+        "urban100_shape_value": round(uvalue, 3),
+        "urban100_shape_unit": "out_Mpix/s (176x256 LR, per-image regime)",
     }))
 
 

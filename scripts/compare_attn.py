@@ -2,13 +2,16 @@
 
 Analog of the reference's FlexAttention-vs-Naive comparison
 (ref: HAT/ESC/scripts/compare_attn.py:119-178): checks the Pallas fused
-window-attention kernel against the XLA reference implementation on
+window-attention kernel against the slabbed-XLA production path on
 identical inputs, then times both with the reference's protocol (warmup +
-repeated timed runs, median).
+repeated timed runs, median). Covers the two shapes that matter
+(VERDICT r1 #2): square ws^2 window MSA (HAB/ESC) and rectangular
+16->24 OCAB attention, in f32 and bf16.
 
 Usage:
-    python scripts/compare_attn.py [--windows 256] [--window-size 16]
-                                   [--dim 180] [--heads 6] [--reps 20]
+    python scripts/compare_attn.py [--windows 2048] [--window-size 16]
+        [--overlap 0.5 | --square] [--dim 180] [--heads 6]
+        [--dtype bf16] [--reps 20]
 """
 
 from __future__ import annotations
@@ -22,63 +25,95 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--windows", type=int, default=256)
+    p.add_argument("--windows", type=int, default=2048,
+                   help="window-batch size (8 HD tiles at ws16 = 3200)")
     p.add_argument("--window-size", type=int, default=16)
+    p.add_argument("--overlap", type=float, default=0.5,
+                   help="OCAB overlap ratio (rectangular Nk)")
+    p.add_argument("--square", action="store_true",
+                   help="square MSA (HAB/ESC) instead of OCAB")
     p.add_argument("--dim", type=int, default=180)
     p.add_argument("--heads", type=int, default=6)
+    p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--slab", type=int, default=640)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from super_resolution_tpu.ops.attention import (
-        relative_position_index_sa, window_msa)
-    from super_resolution_tpu.ops.pallas_attention import (
-        window_attention_fused)
+        attention_with_bias_auto, relative_position_index_oca,
+        relative_position_index_sa)
+    from super_resolution_tpu.ops.pallas_attention import fused_attention
 
-    n = args.window_size ** 2
+    ws = args.window_size
+    nq = ws * ws
+    if args.square:
+        nk = nq
+        rpi = relative_position_index_sa(ws)
+        table_rows = (2 * ws - 1) ** 2
+    else:
+        ow = ws + int(args.overlap * ws)
+        nk = ow * ow
+        rpi = relative_position_index_oca(ws, args.overlap)
+        table_rows = (ws + ow - 1) ** 2
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    d = args.dim // args.heads
     rng = np.random.default_rng(0)
-    qkv = jnp.asarray(rng.standard_normal(
-        (3, args.windows, n, args.dim)).astype(np.float32))
-    rpi = relative_position_index_sa(args.window_size)
-    table = jnp.asarray(rng.standard_normal(
-        ((2 * args.window_size - 1) ** 2, args.heads)).astype(np.float32)
-        * 0.02)
-    bias = table[rpi.reshape(-1)].reshape(n, n, args.heads) \
-        .transpose(2, 0, 1)
+    q = jnp.asarray(rng.standard_normal(
+        (args.windows, args.heads, nq, d)).astype(np.float32), dt)
+    k = jnp.asarray(rng.standard_normal(
+        (args.windows, args.heads, nk, d)).astype(np.float32), dt)
+    v = jnp.asarray(rng.standard_normal(
+        (args.windows, args.heads, nk, d)).astype(np.float32), dt)
+    table = rng.standard_normal((table_rows, args.heads)).astype(np.float32) * 0.02
+    bias = jnp.asarray(
+        table[rpi.reshape(-1)].reshape(nq, nk, args.heads).transpose(2, 0, 1))
 
-    xla_fn = jax.jit(lambda q: window_msa(q, args.heads, bias))
-    pallas_fn = jax.jit(
-        lambda q: window_attention_fused(q, args.heads, bias))
+    scale = d ** -0.5
+    xla_fn = jax.jit(lambda a, b, c: jnp.mean(
+        attention_with_bias_auto(a, b, c, bias, scale=scale,
+                                 slab=args.slab).astype(jnp.float32)))
+    pallas_fn = jax.jit(lambda a, b, c: jnp.mean(
+        fused_attention(a, b, c, bias, scale=scale).astype(jnp.float32)))
 
-    out_xla = np.asarray(xla_fn(qkv))
+    # correctness vs the unslabbed einsum on a small prefix
+    from super_resolution_tpu.ops.attention import attention_with_bias
+    small = slice(0, min(32, args.windows))
+    ref = np.asarray(attention_with_bias(
+        q[small], k[small], v[small], bias, scale=scale), np.float32)
     try:
-        out_pallas = np.asarray(pallas_fn(qkv))
-        max_err = float(np.abs(out_xla - out_pallas).max())
+        got = np.asarray(fused_attention(q[small], k[small], v[small], bias,
+                                         scale=scale), np.float32)
+        max_err = float(np.abs(ref - got).max())
     except Exception as e:  # pallas unavailable on this backend
         print(json.dumps({"error": f"pallas path failed: {e}"}))
-        out_pallas, max_err = None, None
+        return
 
     def bench(fn):
-        fn(qkv).block_until_ready()
+        float(fn(q, k, v))  # compile + warmup (axon: fetch, don't block)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            fn(qkv).block_until_ready()
+            float(fn(q, k, v))
             times.append(time.perf_counter() - t0)
         return float(np.median(times) * 1e3)
 
     result = {
         "backend": jax.devices()[0].platform,
-        "windows": args.windows, "window_size": args.window_size,
-        "dim": args.dim, "heads": args.heads,
+        "shape": f"{'MSA' if args.square else 'OCAB'} ws{ws} "
+                 f"Nq{nq} Nk{nk} d{d} h{args.heads} bw{args.windows} "
+                 f"{args.dtype}",
         "xla_ms": bench(xla_fn),
+        "pallas_ms": bench(pallas_fn),
+        "max_abs_err": max_err,
     }
-    if out_pallas is not None:
-        result["pallas_ms"] = bench(pallas_fn)
-        result["max_abs_err"] = max_err
-        result["speedup"] = result["xla_ms"] / result["pallas_ms"]
+    result["speedup"] = result["xla_ms"] / result["pallas_ms"]
     print(json.dumps(result))
 
 

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from super_resolution_tpu.ops.attention import window_msa
-from super_resolution_tpu.ops.conv import conv2d_nhwc, dynamic_depthwise_conv3x3
+from super_resolution_tpu.ops.conv import (conv2d_nhwc, conv2d_nhwc_s2d,
+                                           dynamic_depthwise_conv3x3)
 from super_resolution_tpu.ops.windowing import window_partition, window_reverse
 from super_resolution_tpu.models.arch_util import gelu_exact
 from super_resolution_tpu.utils.registry import ARCH_REGISTRY
@@ -90,20 +91,58 @@ class ConvolutionalAttention(nn.Module):
             self.pdim * 9, name="dwc_proj_3",
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
 
-    def __call__(self, x, lk_filter):
+    def attended(self, x, lk_filter):
+        """The processed first-pdim-channels slab only (no concat)."""
         x1 = x[..., :self.pdim]
-        x2 = x[..., self.pdim:]
         # dynamic kernel head: GAP -> 1x1 -> GELU -> 1x1, zero-initialized
         g = jnp.mean(x1, axis=(1, 2))                       # (B, pdim)
         dk = self.dwc_proj_3(gelu_exact(self.dwc_proj_1(g)))  # (B, pdim*9)
         dk = dk.reshape(-1, self.pdim, 3, 3).transpose(0, 2, 3, 1)  # (B,3,3,pdim)
         dyn = dynamic_depthwise_conv3x3(x1, dk)
-        stat = conv2d_nhwc(x1, lk_filter)
-        return jnp.concatenate([stat + dyn, x2], axis=-1)
+        # space-to-depth route: a pdim(16)-lane 13x13 conv starves the MXU
+        # (measured ~2.5% FLOP efficiency on v5e); the transformed
+        # 256-channel 6x6 conv is a standard well-tiled conv (ops/conv.py)
+        stat = conv2d_nhwc_s2d(x1, lk_filter)
+        return stat + dyn
+
+    def __call__(self, x, lk_filter):
+        return jnp.concatenate(
+            [self.attended(x, lk_filter), x[..., self.pdim:]], axis=-1)
+
+
+class SplitPointwise(nn.Module):
+    """1x1 conv over a virtual concat([y1, x2]) without materializing it.
+
+    Parameter tree is identical to ``nn.Conv(dim, (1, 1))`` (kernel
+    (1, 1, Cin, dim), bias (dim,)) so checkpoints are unaffected; the
+    kernel is split at `split` and applied to the two pieces separately —
+    on the HAT hot path this avoids a full write+read of the (B,H,W,C)
+    concat per block (C=180 at flagship dims: ~0.6 GB HBM per tile batch).
+    """
+
+    dim: int
+    split: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, y1, x2):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        k1 = kernel[0, 0, :self.split]
+        k2 = kernel[0, 0, self.split:]
+        return (jnp.einsum("bhwc,cd->bhwd", y1, k1.astype(y1.dtype))
+                + jnp.einsum("bhwc,cd->bhwd", x2, k2.astype(x2.dtype))
+                + bias.astype(y1.dtype))
 
 
 class ConvAttnWrapper(nn.Module):
-    """ConvolutionalAttention + 1x1 aggregation (ref: esc_arch.py:136-145)."""
+    """ConvolutionalAttention + 1x1 aggregation (ref: esc_arch.py:136-145).
+
+    The aggregation consumes the attended pdim slab and the passthrough
+    channels separately (SplitPointwise) — same math as
+    ``aggr(concat([attended, rest]))`` with the concat never built."""
 
     dim: int
     pdim: int
@@ -111,10 +150,11 @@ class ConvAttnWrapper(nn.Module):
 
     def setup(self):
         self.plk = ConvolutionalAttention(self.pdim, self.kernel_size, name="plk")
-        self.aggr = nn.Conv(self.dim, (1, 1), name="aggr")
+        self.aggr = SplitPointwise(self.dim, self.pdim, self.dim, name="aggr")
 
     def __call__(self, x, lk_filter):
-        return self.aggr(self.plk(x, lk_filter))
+        y1 = self.plk.attended(x, lk_filter)
+        return self.aggr(y1, x[..., self.pdim:])
 
 
 class ConvFFN(nn.Module):
@@ -174,7 +214,8 @@ class WindowAttentionESC(nn.Module):
         wins = wins.transpose(2, 0, 1, 3)                      # (3, B*nW, N, C)
 
         bias = self.relative_position_bias[:, self._rpe_idx]   # (heads, N, N)
-        if self.use_pallas:
+        from super_resolution_tpu.ops.attention import _pallas_attention_enabled
+        if self.use_pallas or _pallas_attention_enabled():
             from super_resolution_tpu.ops.pallas_attention import window_attention_fused
             out = window_attention_fused(wins, self.num_heads, bias)
         else:

@@ -72,6 +72,12 @@ def shift_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.nda
 def attention_with_bias(q, k, v, bias, scale=None, precision=None):
     """softmax(q k^T * scale + bias) v.
 
+    Scores and softmax are always float32: with bfloat16 operands the MXU
+    accumulates in f32 (preferred_element_type) and the exp/normalize run in
+    f32, then the probabilities drop back to the value dtype for the second
+    matmul — the standard mixed-precision attention recipe. For float32
+    inputs this is numerically identical to the plain einsum chain.
+
     Args:
       q: (..., Nq, d); k, v: (..., Nk, d)
       bias: broadcastable to (..., Nq, Nk) — RPB (+ optional shift mask).
@@ -80,11 +86,13 @@ def attention_with_bias(q, k, v, bias, scale=None, precision=None):
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
-    attn = jnp.einsum("...qd,...kd->...qk", q * scale, k, precision=precision)
-    attn = attn + bias
+    attn = jnp.einsum("...qd,...kd->...qk", q * scale, k, precision=precision,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias.astype(jnp.float32)
     attn = jnp.exp(attn - attn.max(axis=-1, keepdims=True))
     attn = attn / attn.sum(axis=-1, keepdims=True)
-    return jnp.einsum("...qk,...kd->...qd", attn, v, precision=precision)
+    return jnp.einsum("...qk,...kd->...qd", attn.astype(v.dtype), v,
+                      precision=precision)
 
 
 def window_msa(qkv_windows, num_heads: int, bias, scale=None, precision=None):
@@ -105,6 +113,28 @@ def window_msa(qkv_windows, num_heads: int, bias, scale=None, precision=None):
     return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
 
 
+def _pallas_attention_enabled() -> bool:
+    """Route production attention to the Pallas fused kernel on TPU.
+
+    Default on TPU per scripts/compare_attn.py measurements (see README
+    Benchmark notes); SR_TPU_ATTN=xla|pallas overrides either way."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("SR_TPU_ATTN", "auto").lower()
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu" and _PALLAS_DEFAULT_ON_TPU
+
+
+# flipped by measurement: v1 kernel lost to slabbed XLA on v5e; v2 status
+# is recorded in README Benchmark notes / compare_attn.py runs.
+_PALLAS_DEFAULT_ON_TPU = False
+
+
 def attention_with_bias_auto(q, k, v, bias, scale=None, slab: int = 640):
     """Memory-bounded window attention for big window batches.
 
@@ -116,11 +146,22 @@ def attention_with_bias_auto(q, k, v, bias, scale=None, slab: int = 640):
     HAT throughput over the unslabbed path via the larger feasible tile
     chunk). Numerically identical to attention_with_bias.
 
+    On TPU the Pallas fused kernel (ops/pallas_attention.py — scores never
+    touch HBM) is selected instead when _pallas_attention_enabled().
+
     q: (BW, heads, Nq, d); k, v: (BW, heads, Nk, d); bias (heads, Nq, Nk).
-    (A Pallas fused kernel was measured too: it avoids scores entirely but
-    the d=30 head dim wastes 4x MXU lanes — slower than slabbed XLA.)
     """
     from jax import lax
+
+    if _pallas_attention_enabled():
+        from super_resolution_tpu.ops.pallas_attention import (
+            fused_attention_ad)
+
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        bias_full = jnp.broadcast_to(bias, bias.shape[-3:]) \
+            if bias.ndim >= 3 else bias
+        return fused_attention_ad(q, k, v, bias_full, scale)
 
     bw = q.shape[0]
     if bw <= slab:

@@ -56,6 +56,92 @@ def depthwise_conv_nhwc(x, kernel_hwc, bias=None, padding=None, precision=None):
     return out
 
 
+def _s2d_kernel(kernel_oihw, block: int):
+    """Transform a conv kernel to its space-to-depth equivalent.
+
+    A kxk conv on C channels becomes a k'xk' conv on C*block^2 channels
+    with k' = span of block offsets — e.g. 13x13 on 16ch -> 6x6 on 256ch at
+    block 4. Exact (zero-pad) semantics; the win is MXU lane utilization:
+    XLA cannot tile a 16-lane conv onto the 128-lane MXU (measured ~2.5%
+    FLOP efficiency on v5e) while the transformed 256x256-channel conv is
+    a standard well-tiled conv.
+
+    Returns (T_hwio, pad_lo_h, pad_hi_h, pad_lo_w, pad_hi_w) where the pads
+    are the block-space conv padding.
+    """
+    o, i, kh, kw = kernel_oihw.shape
+    ph, pw = kh // 2, kw // 2
+    b = block
+
+    def axis_span(kk, p):
+        jmin = (0 - p) // b
+        jmax = (b - 1 + kk - 1 - p) // b
+        return jmin, jmax
+
+    jmin_h, jmax_h = axis_span(kh, ph)
+    jmin_w, jmax_w = axis_span(kw, pw)
+    kh2, kw2 = jmax_h - jmin_h + 1, jmax_w - jmin_w + 1
+
+    # scatter indices: for every (qh, u, qw, v) place kernel[:, :, u, v]
+    # (I, O) at T[jh, jw, (ph_, pw_) in-phase, :, (qh, qw) out-phase, :]
+    idx_jh, idx_jw, idx_pin, idx_pout, idx_u, idx_v = [], [], [], [], [], []
+    for qh in range(b):
+        for u in range(kh):
+            jh, ph_ = divmod(qh + u - ph, b)
+            for qw in range(b):
+                for v in range(kw):
+                    jw, pw_ = divmod(qw + v - pw, b)
+                    idx_jh.append(jh - jmin_h)
+                    idx_jw.append(jw - jmin_w)
+                    idx_pin.append(ph_ * b + pw_)
+                    idx_pout.append(qh * b + qw)
+                    idx_u.append(u)
+                    idx_v.append(v)
+    import numpy as np
+
+    k_perm = kernel_oihw.transpose(2, 3, 1, 0)        # (KH, KW, I, O)
+    taps = k_perm[np.asarray(idx_u), np.asarray(idx_v)]   # (N, I, O)
+    t = jnp.zeros((kh2, kw2, b * b, i, b * b, o), kernel_oihw.dtype)
+    t = t.at[np.asarray(idx_jh), np.asarray(idx_jw), np.asarray(idx_pin),
+             :, np.asarray(idx_pout), :].add(taps)
+    t = t.reshape(kh2, kw2, b * b * i, b * b * o)     # HWIO
+    return t, -jmin_h, jmax_h, -jmin_w, jmax_w
+
+
+def conv2d_nhwc_s2d(x, kernel_oihw, bias=None, block: int = 4):
+    """Same-padding NHWC conv via the space-to-depth transform.
+
+    Numerically equivalent to ``conv2d_nhwc(x, kernel_oihw)`` (zero pad,
+    stride 1) for any H, W; pads H/W up to a block multiple internally.
+    Use for small-channel large-kernel convs (ESC's 13x13 PLK filter,
+    ref: hat/archs/esc_arch.py:321-323) where direct lowering starves
+    the MXU.
+    """
+    b_, h, w, c = x.shape
+    blk = block
+    pad_h = (-h) % blk
+    pad_w = (-w) % blk
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = x.shape[1], x.shape[2]
+    xs = x.reshape(b_, hp // blk, blk, wp // blk, blk, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hp // blk, wp // blk,
+                                                blk * blk * c)
+    t, plo_h, phi_h, plo_w, phi_w = _s2d_kernel(kernel_oihw, blk)
+    out = lax.conv_general_dilated(
+        xs, t.astype(x.dtype), window_strides=(1, 1),
+        padding=((plo_h, phi_h), (plo_w, phi_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    o = kernel_oihw.shape[0]
+    out = out.reshape(b_, hp // blk, wp // blk, blk, blk, o)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hp, wp, o)
+    if pad_h or pad_w:
+        out = out[:, :h, :w]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def shifted_neighborhoods(x, k: int, mode: str = "zero"):
     """Stack the k*k shifted copies of x: (B,H,W,C) -> (B,H,W,k*k,C).
 

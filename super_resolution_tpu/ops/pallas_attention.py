@@ -7,10 +7,20 @@ windows without materializing the (N, N) score matrices in HBM.
 
 Shapes are SR-scale: N = ws^2 is 64-1024 (ws 8-32) and head_dim is 16-32,
 so a whole (window, head) problem fits VMEM — no flash-style KV streaming
-is needed; the win is fusing QK^T + bias + softmax + PV into one VMEM-
-resident pass and batching TW windows per program so the MXU sees
-(TW*N, d) x (d, N) sized work. Scores accumulate in f32 (MXU native);
-softmax runs on the VPU.
+is needed; the win over the slabbed-XLA path (ops/attention.py) is purely
+HBM traffic: XLA materializes the f32 score tensor twice (write + read ~
+4.7 MB per window-head at OCAB 16->24 shapes) while this kernel keeps
+scores VMEM-resident.
+
+v2 design notes (the v1 kernel lost to XLA on v5e; these fix why):
+- operands stay in their input dtype through the MXU (bf16 matmuls run at
+  full rate with f32 accumulation via preferred_element_type; v1 upcast to
+  f32 first, forcing multi-pass f32 MXU work);
+- no operand pre-transpose: BlockSpec index maps walk the native
+  (BW, heads, N, d) layout, so nothing is copied in HBM (v1's
+  (heads, BW, N, d) transposes tripled HBM traffic);
+- grid = (heads, window-blocks) with the bias block constant along the
+  inner grid axis — Mosaic hoists its DMA out of the inner loop.
 
 Supports rectangular attention (Nq != Nk) for OCAB's ws^2-query /
 overlap-window-key pattern (ref: hat_arch.py:374-384).
@@ -31,36 +41,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0]                       # (TW, Nq, d)
-    k = k_ref[0]                       # (TW, Nk, d)
-    v = v_ref[0]                       # (TW, Nk, d)
+    q = q_ref[:, 0]                    # (TW, Nq, d) input dtype
+    k = k_ref[:, 0]                    # (TW, Nk, d)
+    v = v_ref[:, 0]                    # (TW, Nk, d)
     b = bias_ref[0]                    # (Nq, Nk) — one head per program
 
+    # bf16 x bf16 -> f32 on the MXU; scale folded into the f32 scores
     s = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale, k.astype(jnp.float32),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (TW, Nq, Nk)
-    s = s + b.astype(jnp.float32)[None]
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (TW, Nq, Nk) f32
+    s = s * scale + b.astype(jnp.float32)[None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v.astype(jnp.float32),
+        p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (TW, Nq, d)
-    o_ref[0] = o.astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)            # (TW, Nq, d) f32
+    o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_windows", "interpret"))
 def fused_attention(q, k, v, bias, *, scale: float | None = None,
-                    block_windows: int = 8, interpret: bool | None = None):
+                    block_windows: int = 16, interpret: bool | None = None):
     """Batched multi-head (optionally rectangular) window attention.
 
     Args:
-      q: (BW, heads, Nq, d); k, v: (BW, heads, Nk, d)
+      q: (BW, heads, Nq, d); k, v: (BW, heads, Nk, d) — f32 or bf16.
       bias: (heads, Nq, Nk) additive bias (RPB, already gathered dense).
     Returns:
-      (BW, heads, Nq, d)
+      (BW, heads, Nq, d) in the input dtype.
     """
     bw, heads, nq, d = q.shape
     nk = k.shape[2]
@@ -69,33 +79,15 @@ def fused_attention(q, k, v, bias, *, scale: float | None = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # Cap the window count per pallas call: the (heads, BW, N, d) operand
-    # layout the kernel wants forces XLA to materialize transposed copies of
-    # q/k/v, so one giant call costs ~3x qkv in HBM. An outer lax.map over
-    # window slabs bounds that to ~400 windows of copies at a time.
-    slab = 512
-    if bw > slab and not interpret:
-        pad = (-bw) % slab
-        if pad:
-            padw = lambda a: jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-            q, k, v = padw(q), padw(k), padw(v)
-        m = q.shape[0] // slab
-        out = jax.lax.map(
-            lambda qkv: fused_attention(qkv[0], qkv[1], qkv[2], bias,
-                                        scale=scale,
-                                        block_windows=block_windows,
-                                        interpret=interpret),
-            (q.reshape((m, slab) + q.shape[1:]),
-             k.reshape((m, slab) + k.shape[1:]),
-             v.reshape((m, slab) + v.shape[1:])))
-        return out.reshape((m * slab,) + out.shape[2:])[:bw]
-
-    # fit the per-program working set in scoped VMEM (~16MB): scores (twice:
-    # s and p), q/k/v/out with the head dim padded to a full 128 lane
+    # Per-program working set in VMEM (~16MB budget, keep headroom for
+    # double buffering): f32 scores (s/p may share a buffer but budget both),
+    # qkv/out blocks in input dtype with d padded to the 128 lane.
+    esize = jnp.dtype(q.dtype).itemsize
     dpad = max(d, 128)
-    per_window = 4 * (2 * nq * nk + 3 * nk * dpad + 2 * nq * dpad)
-    budget = 10 * 1024 * 1024
+    per_window = (8 * nq * nk                       # scores f32 (x2)
+                  + esize * (2 * nk * dpad + nq * dpad)   # k, v, q
+                  + 4 * nq * dpad)                  # out accum
+    budget = 9 * 1024 * 1024 - 4 * nq * nk          # minus the bias block
     tw = max(1, min(block_windows, bw, budget // per_window))
     pad = (-bw) % tw
     if pad:
@@ -104,33 +96,54 @@ def fused_attention(q, k, v, bias, *, scale: float | None = None,
         v = jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
     bw_p = q.shape[0]
 
-    # (heads, BW, N, d) layout so each program reads contiguous windows
-    qt = q.transpose(1, 0, 2, 3)
-    kt = k.transpose(1, 0, 2, 3)
-    vt = v.transpose(1, 0, 2, 3)
-
     grid = (heads, bw_p // tw)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tw, nq, d), lambda h, w: (h, w, 0, 0),
+            pl.BlockSpec((tw, 1, nq, d), lambda h, w: (w, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw, nk, d), lambda h, w: (h, w, 0, 0),
+            pl.BlockSpec((tw, 1, nk, d), lambda h, w: (w, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw, nk, d), lambda h, w: (h, w, 0, 0),
+            pl.BlockSpec((tw, 1, nk, d), lambda h, w: (w, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, nk), lambda h, w: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tw, nq, d), lambda h, w: (h, w, 0, 0),
+        out_specs=pl.BlockSpec((tw, 1, nq, d), lambda h, w: (w, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((heads, bw_p, nq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bw_p, heads, nq, d), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, bias)
+    )(q, k, v, bias)
 
-    out = out.transpose(1, 0, 2, 3)
     return out[:bw]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention_ad(q, k, v, bias, scale):
+    """fused_attention with a defined backward pass: Pallas forward, XLA
+    backward (differentiating through pallas_call is unsupported; the
+    backward recomputes scores through the reference einsum path — training
+    shapes are 64x64-crop sized, where that is cheap)."""
+    return fused_attention(q, k, v, bias, scale=scale)
+
+
+def _fused_ad_fwd(q, k, v, bias, scale):
+    return fused_attention(q, k, v, bias, scale=scale), (q, k, v, bias)
+
+
+def _fused_ad_bwd(scale, res, g):
+    from super_resolution_tpu.ops.attention import attention_with_bias
+
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: attention_with_bias(q_, k_, v_, b_,
+                                                   scale=scale),
+        q, k, v, bias)
+    return vjp(g.astype(q.dtype))
+
+
+fused_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 
 def window_attention_fused(qkv_windows, num_heads: int, bias,

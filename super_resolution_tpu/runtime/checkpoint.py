@@ -21,11 +21,30 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_params(path: str, tree: dict) -> None:
-    """Save a pytree (e.g. {'params': ..., 'params_ema': ...}) to `path`."""
-    ckptr = _checkpointer()
-    ckptr.save(os.path.abspath(path), tree, force=True)
-    ckptr.wait_until_finished()
+def save_params(path: str, tree: dict, retries: int = 3) -> None:
+    """Save a pytree (e.g. {'params': ..., 'params_ema': ...}) to `path`.
+
+    Retries transient IO failures like the reference's save loops (3
+    attempts, 1 s apart — ref: base_model.py:237-252,335-350); a final
+    failure logs and raises rather than silently dropping the checkpoint."""
+    import time
+
+    from super_resolution_tpu.utils.logger import get_root_logger
+
+    last_exc = None
+    for attempt in range(retries):
+        try:
+            ckptr = _checkpointer()
+            ckptr.save(os.path.abspath(path), tree, force=True)
+            ckptr.wait_until_finished()
+            return
+        except (OSError, IOError, ValueError) as exc:
+            last_exc = exc
+            get_root_logger().warning(
+                f"checkpoint save to {path} failed "
+                f"(attempt {attempt + 1}/{retries}): {exc}")
+            time.sleep(1)
+    raise last_exc
 
 
 def load_tree(path: str, template: Any = None) -> Any:

@@ -85,18 +85,37 @@ class SRModel:
     # -------------------------------------------------------------- forward
     def eval_params(self):
         """EMA params if present, else raw params (net_g_ema preference,
-        ref: hat_model.py:30-37)."""
-        return self.ema_params if self.ema_params is not None else self.params
+        ref: hat_model.py:30-37) — cast to the inference dtype (cached)."""
+        params = self.ema_params if self.ema_params is not None else self.params
+        dt = self.inference_dtype()
+        if dt is None:
+            return params
+        if self._apply_cache.get("_cast_src") is not params:
+            from super_resolution_tpu.utils.precision import cast_floating
+
+            self._apply_cache["_cast"] = cast_floating(params, dt)
+            self._apply_cache["_cast_src"] = params
+        return self._apply_cache["_cast"]
+
+    def inference_dtype(self):
+        """Optional reduced-precision inference (framework extension; the
+        reference is fp32-only — see utils/precision.py). YAML:
+        ``val: {inference_dtype: bf16}`` or top-level ``inference_dtype``."""
+        from super_resolution_tpu.utils.precision import resolve_dtype
+
+        name = ((self.opt.get("val") or {}).get("inference_dtype")
+                or self.opt.get("inference_dtype"))
+        return resolve_dtype(name)
 
     def _apply_fn(self) -> Callable:
         if "apply" not in self._apply_cache:
             net = self.net_g
+            from super_resolution_tpu.utils.precision import wrap_apply
 
-            @jax.jit
-            def fwd(params, x):
-                return net.apply({"params": params}, x)
-
-            self._apply_cache["apply"] = fwd
+            fwd = wrap_apply(
+                lambda params, x: net.apply({"params": params}, x),
+                self.inference_dtype())
+            self._apply_cache["apply"] = jax.jit(fwd)
         return self._apply_cache["apply"]
 
     def feed_data(self, data: dict):
