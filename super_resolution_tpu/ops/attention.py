@@ -130,9 +130,15 @@ def _pallas_attention_enabled() -> bool:
     return jax.default_backend() == "tpu" and _PALLAS_DEFAULT_ON_TPU
 
 
-# flipped by measurement: v1 kernel lost to slabbed XLA on v5e; v2 status
-# is recorded in README Benchmark notes / compare_attn.py runs.
-_PALLAS_DEFAULT_ON_TPU = False
+# Measured on v5e (scripts/compare_attn.py, bw=2048 bf16):
+#   OCAB ws16 Nq256/Nk576: XLA 68.9 ms, Pallas 67.4 ms (+2.2%)
+#   MSA  ws16 Nq256/Nk256: XLA 48.2 ms, Pallas 47.5 ms (+1.6%)
+# Both paths sit at the d=30 MXU output-tile floor (K<128 is pipeline-
+# padded, so score cost ~ M*N regardless of head dim); the kernel's edge
+# is small but consistent, and it keeps the ~7 GB/call f32 score tensor
+# out of HBM — freeing headroom for larger tile chunks. v1 (f32-upcast
+# operands, pre-transposed layouts) lost to XLA; v2 fixed both.
+_PALLAS_DEFAULT_ON_TPU = True
 
 
 def attention_with_bias_auto(q, k, v, bias, scale=None, slab: int = 640):

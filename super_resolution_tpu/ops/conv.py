@@ -82,29 +82,33 @@ def _s2d_kernel(kernel_oihw, block: int):
     jmin_w, jmax_w = axis_span(kw, pw)
     kh2, kw2 = jmax_h - jmin_h + 1, jmax_w - jmin_w + 1
 
-    # scatter indices: for every (qh, u, qw, v) place kernel[:, :, u, v]
-    # (I, O) at T[jh, jw, (ph_, pw_) in-phase, :, (qh, qw) out-phase, :]
-    idx_jh, idx_jw, idx_pin, idx_pout, idx_u, idx_v = [], [], [], [], [], []
-    for qh in range(b):
-        for u in range(kh):
-            jh, ph_ = divmod(qh + u - ph, b)
-            for qw in range(b):
-                for v in range(kw):
-                    jw, pw_ = divmod(qw + v - pw, b)
-                    idx_jh.append(jh - jmin_h)
-                    idx_jw.append(jw - jmin_w)
-                    idx_pin.append(ph_ * b + pw_)
-                    idx_pout.append(qh * b + qw)
-                    idx_u.append(u)
-                    idx_v.append(v)
+    # T[ah, aw, (ph_, pw_), i, (qh, qw), o] = k[u, v, i, o] with
+    # u = (ah + jmin_h)*b + ph_ - qh + ph (and likewise v); out-of-range
+    # u/v are zeros. One gather from a zero-padded kernel — numpy index
+    # tables, no scatter (scatter HLO here made 36-block models take
+    # minutes longer to compile).
     import numpy as np
 
-    k_perm = kernel_oihw.transpose(2, 3, 1, 0)        # (KH, KW, I, O)
-    taps = k_perm[np.asarray(idx_u), np.asarray(idx_v)]   # (N, I, O)
-    t = jnp.zeros((kh2, kw2, b * b, i, b * b, o), kernel_oihw.dtype)
-    t = t.at[np.asarray(idx_jh), np.asarray(idx_jw), np.asarray(idx_pin),
-             :, np.asarray(idx_pout), :].add(taps)
-    t = t.reshape(kh2, kw2, b * b * i, b * b * o)     # HWIO
+    def axis_idx(kk, p, jmin, n):
+        a = np.arange(n)[:, None, None]
+        phase_in = np.arange(b)[None, :, None]
+        phase_out = np.arange(b)[None, None, :]
+        u = (a + jmin) * b + phase_in - phase_out + p
+        off = max(0, -int(u.min()))
+        hi = max(0, int(u.max()) - (kk - 1))
+        return u + off, off, hi
+
+    u_idx, off_h, hi_h = axis_idx(kh, ph, jmin_h, kh2)   # (KH2, b, b)
+    v_idx, off_w, hi_w = axis_idx(kw, pw, jmin_w, kw2)   # (KW2, b, b)
+    k_perm = kernel_oihw.transpose(2, 3, 1, 0)           # (KH, KW, I, O)
+    kpad = jnp.pad(k_perm, ((off_h, hi_h), (off_w, hi_w), (0, 0), (0, 0)))
+    uu = u_idx[:, None, :, None, :, None]                # (KH2,1,b,1,b,1)
+    vv = v_idx[None, :, None, :, None, :]                # (1,KW2,1,b,1,b)
+    uu, vv = np.broadcast_arrays(uu, vv)   # (KH2,KW2,b,b,b,b): ph,pw,qh,qw
+    t = kpad[uu, vv]                       # (..., I, O)
+    t = t.reshape(kh2, kw2, b * b, b * b, i, o)
+    t = t.transpose(0, 1, 2, 4, 3, 5)      # (KH2, KW2, pin, I, pout, O)
+    t = t.reshape(kh2, kw2, b * b * i, b * b * o)        # HWIO
     return t, -jmin_h, jmax_h, -jmin_w, jmax_w
 
 

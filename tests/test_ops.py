@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 import torch
 
+import jax.numpy as jnp
+
 from super_resolution_tpu.ops import (
     attention_with_bias, dynamic_depthwise_conv3x3, extract_overlap_windows,
     pad_to_multiple, pixel_shuffle, pixel_unshuffle,
@@ -114,3 +116,22 @@ def test_pad_to_multiple(rng):
         torch.from_numpy(x.transpose(0, 3, 1, 2)), (0, pw, 0, ph), "reflect")
     np.testing.assert_array_equal(np.asarray(xp),
                                   ref.numpy().transpose(0, 2, 3, 1))
+
+
+def test_conv2d_s2d_matches_direct(rng):
+    """Space-to-depth conv (the MXU-friendly route for small-channel
+    large-kernel convs, ops/conv.py) is exactly the direct conv."""
+    from super_resolution_tpu.ops.conv import conv2d_nhwc, conv2d_nhwc_s2d
+
+    for (h, w, ci, co, k, blk) in [(20, 24, 16, 16, 13, 4),
+                                   (17, 19, 16, 16, 13, 4),
+                                   (32, 32, 16, 16, 13, 2),
+                                   (15, 15, 3, 5, 7, 4),
+                                   (9, 13, 4, 4, 3, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, ci)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((co, ci, k, k)).astype(np.float32))
+        a = np.asarray(conv2d_nhwc(x, kern))
+        b = np.asarray(conv2d_nhwc_s2d(x, kern, block=blk))
+        np.testing.assert_allclose(a, b, atol=2e-3,
+                                   err_msg=f"{(h, w, ci, co, k, blk)}")

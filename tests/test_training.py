@@ -186,7 +186,11 @@ def test_train_step_dp_mesh_matches_single_device(rng):
     assert float(logs1["l_pix"]) == pytest.approx(float(logs2["l_pix"]), rel=1e-5)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      state1.params, state2.params)
-    assert max(jax.tree.leaves(d)) < 1e-5
+    # bound = lr/2: psum changes gradient summation ORDER, and at step 1
+    # Adam's g/(|g|+eps) amplifies fp-reorder noise on near-zero-gradient
+    # leaves (zero-init heads) to a visible fraction of one lr step; a real
+    # reduction bug (missing/double psum) shows up at the full lr scale
+    assert max(jax.tree.leaves(d)) < 1e-4
 
 
 @pytest.fixture()
