@@ -107,6 +107,18 @@ class GatedDconvFFN(nn.Module):
         self.fc2 = nn.Dense(self.dim, name="fc2")
 
     def __call__(self, x):
+        from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
+                                                         gated_dconv_ffn_ad)
+
+        if (ffn_fused_enabled() and not self.is_initializing()
+                and x.ndim == 4 and self.dw_kernel_size == 3):
+            return gated_dconv_ffn_ad(
+                x, self.fc1.variables["params"]["kernel"],
+                self.fc1.variables["params"]["bias"],
+                self.dw.variables["params"]["kernel"][:, :, 0, :],
+                self.dw.variables["params"]["bias"],
+                self.fc2.variables["params"]["kernel"],
+                self.fc2.variables["params"]["bias"])
         x = self.fc1(x)          # NHWC, channels = 2*hidden
         x = self.dw(x)
         hidden = x.shape[-1] // 2

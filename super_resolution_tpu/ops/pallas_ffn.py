@@ -1,0 +1,188 @@
+"""Pallas fused gated depthwise-conv FFN (fork-HAT's MLP replacement).
+
+Computes fc2(glu(dw3x3(fc1(x)))) — ref: hat/archs/hat_arch.py:95-119 —
+in one VMEM-resident pass per row tile. The XLA path materializes every
+intermediate in HBM (fc1 out, dw out, gated product); the fused kernel
+reads x and writes out only.
+
+Semantics (verified vs the flax module in tests/test_pallas_ffn.py):
+  h   = x @ w1 + b1                    # (.., 2M)
+  d   = depthwise3x3(h, wd) + bd       # zero-padded at image borders
+  g   = d[..., :M] * silu(d[..., M:])
+  out = g @ w2 + b2                    # (.., C)
+
+Layout: grid over (batch, row-tiles). The 1-row halo needed by the 3x3
+depthwise conv is obtained by passing x THREE times with row-shifted
+BlockSpec index maps (prev/cur/next tile) — the Pallas pipeline double-
+buffers those block fetches automatically, unlike a manual in-kernel DMA
+(the v1 design), which serialized a blocking copy per program. fc1 runs
+on the tile rows plus one halo row each side; rows outside the image are
+zero-masked (the dw conv pads its INPUT with zeros, and fc1(0) != 0
+because of the bias). bf16 operands, f32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_kernel(xp, xc, xn, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
+                o_ref, hs, *, th: int, h_img: int, w_img: int):
+    i = pl.program_id(1)
+    r0 = i * th                       # first image row of this tile
+    c = xc.shape[-1]
+    m2 = w1_ref.shape[-1]
+    m = m2 // 2
+
+    w1 = w1_ref[...]
+    b1 = b1_ref[0].astype(jnp.float32)
+
+    def fc1(rows2d):
+        return jax.lax.dot_general(
+            rows2d, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1
+
+    h_cur = fc1(xc[0].reshape(th * w_img, c)).reshape(th, w_img, m2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0) + r0
+    h_cur = jnp.where(rows < h_img, h_cur, 0.0)
+    # halo rows: last row of the prev tile / first row of the next tile
+    # (the index maps clamp at the grid edges; the masks zero them there)
+    h_top = jnp.where(r0 >= 1, fc1(xp[0, th - 1]), 0.0)
+    h_bot = jnp.where(r0 + th < h_img, fc1(xn[0, 0]), 0.0)
+
+    # zero-padded columns: write into hs[:, 1:w+1], borders stay zero
+    hs[:, 0] = jnp.zeros((th + 2, m2), hs.dtype)
+    hs[:, w_img + 1] = jnp.zeros((th + 2, m2), hs.dtype)
+    hs[0, 1:w_img + 1] = h_top.astype(hs.dtype)
+    hs[pl.ds(1, th), 1:w_img + 1] = h_cur.astype(hs.dtype)
+    hs[th + 1, 1:w_img + 1] = h_bot.astype(hs.dtype)
+
+    # depthwise 3x3 on the tile's th interior rows
+    wd = wd_ref[...].astype(jnp.float32)              # (3, 3, 2M)
+    acc = jnp.zeros((th, w_img, m2), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = hs[pl.ds(dy, th), pl.ds(dx, w_img)]  # (th, W, 2M)
+            acc = acc + sl.astype(jnp.float32) * wd[dy, dx]
+    acc = acc + bd_ref[0].astype(jnp.float32)
+
+    g = acc[..., :m] * jax.nn.sigmoid(acc[..., m:]) * acc[..., m:]
+    out = jax.lax.dot_general(
+        g.reshape(th * w_img, m).astype(xc.dtype), w2_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = out.reshape(th, w_img, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret"))
+def gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2, *, tile_rows: int = 8,
+                    interpret: bool | None = None):
+    """Fused FFN forward.
+
+    Args:
+      x: (B, H, W, C); w1 (C, 2M), b1 (2M,); wd (3, 3, 2M), bd (2M,);
+      w2 (M, C_out), b2 (C_out,).
+    Returns:
+      (B, H, W, C_out) in x.dtype.
+    """
+    b, h, w, c = x.shape
+    m2 = w1.shape[1]
+    c_out = w2.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th = tile_rows
+    pad_r = (-h) % th
+    if pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    hp = x.shape[1]
+    nt = hp // th
+
+    grid = (b, nt)
+    row_block = lambda off: pl.BlockSpec(
+        (1, th, w, c),
+        lambda b_, i: (b_, jnp.clip(i + off, 0, nt - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, th=th, h_img=h, w_img=w),
+        grid=grid,
+        in_specs=[
+            row_block(-1), row_block(0), row_block(+1),
+            pl.BlockSpec((c, m2), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, m2), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2 // 2, c_out), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c_out), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w + 2, m2), x.dtype),    # padded fc1 out
+        ],
+        interpret=interpret,
+    )(x, x, x, w1, b1.reshape(1, m2), wd, bd.reshape(1, m2),
+      w2, b2.reshape(1, c_out))
+    return out[:, :h]
+
+
+def ffn_reference(x, w1, b1, wd, bd, w2, b2):
+    """Unfused jnp composition (identical math; backward path + oracle)."""
+    from jax import lax
+
+    h = x @ w1 + b1
+    d = lax.conv_general_dilated(
+        h, wd[:, :, None, :], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=wd.shape[-1]) + bd
+    m = wd.shape[-1] // 2
+    g = d[..., :m] * jax.nn.silu(d[..., m:])
+    return g @ w2 + b2
+
+
+@jax.custom_vjp
+def gated_dconv_ffn_ad(x, w1, b1, wd, bd, w2, b2):
+    """Fused forward, XLA backward (pallas_call is not differentiable;
+    training crops are small so the unfused backward is cheap)."""
+    return gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2)
+
+
+def _ffn_ad_fwd(x, w1, b1, wd, bd, w2, b2):
+    return gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2), (x, w1, b1, wd, bd,
+                                                        w2, b2)
+
+
+def _ffn_ad_bwd(res, g):
+    _, vjp = jax.vjp(ffn_reference, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+gated_dconv_ffn_ad.defvjp(_ffn_ad_fwd, _ffn_ad_bwd)
+
+
+def ffn_fused_enabled() -> bool:
+    """Route the module through the fused kernel on TPU
+    (SR_TPU_FFN=fused|xla overrides)."""
+    import os
+
+    mode = os.environ.get("SR_TPU_FFN", "auto").lower()
+    if mode == "fused":
+        return True
+    if mode == "xla":
+        return False
+    # default OFF until the kernel measures ahead of XLA at bench shapes
+    # (v1 manual-DMA version was throughput-neutral: 39.6 vs 38.4 ms,
+    # B8 320x320x180 bf16 on v5e); flip via SR_TPU_FFN=fused to test.
+    return False

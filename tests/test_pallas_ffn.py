@@ -1,0 +1,44 @@
+"""Fused gated-dconv FFN kernel vs the flax module (interpret mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.models.hat_arch import GatedDconvFFN
+from super_resolution_tpu.ops.pallas_ffn import gated_dconv_ffn
+
+
+def _params_to_args(params):
+    w1 = params["fc1"]["kernel"]
+    b1 = params["fc1"]["bias"]
+    wd = params["dw"]["kernel"][:, :, 0, :]      # (3,3,1,2M) -> (3,3,2M)
+    bd = params["dw"]["bias"]
+    w2 = params["fc2"]["kernel"]
+    b2 = params["fc2"]["bias"]
+    return w1, b1, wd, bd, w2, b2
+
+
+def test_fused_ffn_matches_module(rng):
+    dim = 12
+    mod = GatedDconvFFN(dim=dim, mlp_ratio=2.0)
+    for (h, w) in [(8, 16), (7, 16), (5, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, dim)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        ref = np.asarray(mod.apply({"params": params}, x))
+        got = np.asarray(gated_dconv_ffn(x, *_params_to_args(params),
+                                         tile_rows=4, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"{(h, w)}")
+
+
+def test_fused_ffn_bf16(rng):
+    dim = 12
+    mod = GatedDconvFFN(dim=dim, mlp_ratio=2.0)
+    x32 = rng.standard_normal((1, 8, 16, dim)).astype(np.float32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x32))["params"]
+    ref = np.asarray(mod.apply({"params": params}, jnp.asarray(x32)))
+    args16 = [a.astype(jnp.bfloat16) for a in _params_to_args(params)]
+    got = gated_dconv_ffn(jnp.asarray(x32, jnp.bfloat16), *args16,
+                          tile_rows=4, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=0.1)
