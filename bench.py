@@ -50,8 +50,11 @@ def main():
 
     scale = 4
     h, w = 720, 1280
-    tile_size = int(os.environ.get("BENCH_TILE", 256))
-    tile_pad = int(os.environ.get("BENCH_PAD", 32))
+    def _pair(s):
+        return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
+
+    tile_size = _pair(os.environ.get("BENCH_TILE", "256"))
+    tile_pad = _pair(os.environ.get("BENCH_PAD", "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", 8))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 

@@ -43,12 +43,19 @@ def _axis_plan(dim: int, tile_size: int, tile_pad: int):
     return n, t, cs, starts.astype(np.int32), offsets.astype(np.int32), pos.astype(np.int32)
 
 
-def tile_forward(apply_fn, img, scale: int, tile_size: int, tile_pad: int,
+def tile_forward(apply_fn, img, scale: int, tile_size, tile_pad,
                  chunk: int = 8, mesh=None):
     """Tiled upscale of (1, H, W, C) -> (1, H*scale, W*scale, C).
 
     apply_fn: batched NHWC -> NHWC x`scale` network forward. Every tile
     shares one compiled shape (T_y, T_x).
+
+    tile_size / tile_pad: int, or (y, x) pairs — rectangular tiles let the
+    plan kill halo waste along an axis the image covers in one tile (e.g.
+    tile (720, 256) on a 720-row input has no vertical halo at all).
+
+    chunk: tiles per compiled forward (the lax.map batch). Clamped to the
+    actual tile count so small images don't pay for padded batch slots.
 
     mesh: optional jax Mesh — the per-chunk tile batch is sharded over the
     'data' axis so each device upscales its slice of tiles (multi-chip
@@ -56,8 +63,13 @@ def tile_forward(apply_fn, img, scale: int, tile_size: int, tile_pad: int,
     SURVEY.md §2.7). `chunk` should be a multiple of the mesh size.
     """
     _, h, w, c = img.shape
-    ny, t_y, cs_y, st_y, off_y, pos_y = _axis_plan(h, tile_size, tile_pad)
-    nx, t_x, cs_x, st_x, off_x, pos_x = _axis_plan(w, tile_size, tile_pad)
+    ts_y, ts_x = tile_size if isinstance(tile_size, (tuple, list)) \
+        else (tile_size, tile_size)
+    tp_y, tp_x = tile_pad if isinstance(tile_pad, (tuple, list)) \
+        else (tile_pad, tile_pad)
+    ny, t_y, cs_y, st_y, off_y, pos_y = _axis_plan(h, ts_y, tp_y)
+    nx, t_x, cs_x, st_x, off_x, pos_x = _axis_plan(w, ts_x, tp_x)
+    chunk = min(chunk, ny * nx)
 
     sy = jnp.asarray(np.repeat(st_y, nx))
     sx = jnp.asarray(np.tile(st_x, ny))

@@ -59,6 +59,44 @@ def test_tile_forward_conv_network_exact(rng, shape):
     np.testing.assert_allclose(tiled, whole, atol=1e-5)
 
 
+def test_tile_forward_rectangular_and_chunk_clamp(rng):
+    """(y, x) tile plans (kill halo waste along a fully-covered axis) and
+    chunk clamping (a 1-tile image must not pad to an 8-slot batch) keep
+    exactness with a halo-bounded conv net."""
+    from flax import linen as nn
+
+    calls = []
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
+            calls.append(x.shape)
+            x = nn.Conv(16, (3, 3), padding=[(1, 1), (1, 1)])(x)
+            x = nn.relu(x)
+            x = nn.Conv(12, (3, 3), padding=[(1, 1), (1, 1)])(x)
+            return pixel_shuffle(x, 2)
+
+    net = Net()
+    x = jnp.asarray(rng.random((1, 24, 40, 3), dtype=np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    fwd = lambda t: net.apply(variables, t)
+    whole = np.asarray(fwd(x))
+
+    # rows in one 24-high band (no y halo), columns split in 16s
+    tiled = np.asarray(tile_forward(fwd, x, scale=2, tile_size=(24, 16),
+                                    tile_pad=(0, 4), chunk=3))
+    np.testing.assert_allclose(tiled, whole, atol=1e-5)
+    assert any(s[1] == 24 and s[2] == 24 for s in calls)  # 24 x (16+2*4)
+
+    # whole image in a single tile: chunk 8 must clamp to 1 (no batch pad)
+    calls.clear()
+    tiled1 = np.asarray(tile_forward(fwd, x, scale=2, tile_size=64,
+                                     tile_pad=8, chunk=8))
+    np.testing.assert_allclose(tiled1, whole, atol=1e-5)
+    assert all(s[0] == 1 for s in calls if len(s) == 4)
+
+
 @pytest.fixture(scope="module")
 def synthetic_dataset(tmp_path_factory):
     """Tiny GT/LQ x2 pair folders with MATLAB-bicubic LR."""
