@@ -107,18 +107,6 @@ class GatedDconvFFN(nn.Module):
         self.fc2 = nn.Dense(self.dim, name="fc2")
 
     def __call__(self, x):
-        from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
-                                                         gated_dconv_ffn_ad)
-
-        if (ffn_fused_enabled() and not self.is_initializing()
-                and x.ndim == 4 and self.dw_kernel_size == 3):
-            return gated_dconv_ffn_ad(
-                x, self.fc1.variables["params"]["kernel"],
-                self.fc1.variables["params"]["bias"],
-                self.dw.variables["params"]["kernel"][:, :, 0, :],
-                self.dw.variables["params"]["bias"],
-                self.fc2.variables["params"]["kernel"],
-                self.fc2.variables["params"]["bias"])
         x = self.fc1(x)          # NHWC, channels = 2*hidden
         x = self.dw(x)
         hidden = x.shape[-1] // 2
@@ -180,6 +168,23 @@ class HAB(nn.Module):
             rng = self.make_rng("droppath")
             attn_x = drop_path(attn_x, self.drop_path_rate, False, rng)
         x = shortcut + attn_x + conv_x * self.conv_scale
+        from super_resolution_tpu.ops.pallas_ffn import (
+            ffn_fused_enabled, gated_dconv_ffn_block_ad)
+
+        if (ffn_fused_enabled() and not self.is_initializing()
+                and x.ndim == 4
+                and (deterministic or self.drop_path_rate == 0)):
+            # fused  x + FFN(LN(x))  Pallas block (ops/pallas_ffn.py)
+            np2 = self.norm2.variables["params"]
+            mp = self.mlp
+            return gated_dconv_ffn_block_ad(
+                x, np2["scale"], np2["bias"],
+                mp.fc1.variables["params"]["kernel"],
+                mp.fc1.variables["params"]["bias"],
+                mp.dw.variables["params"]["kernel"][:, :, 0, :],
+                mp.dw.variables["params"]["bias"],
+                mp.fc2.variables["params"]["kernel"],
+                mp.fc2.variables["params"]["bias"])
         mlp_x = self.mlp(self.norm2(x))
         if not deterministic and self.drop_path_rate > 0:
             rng = self.make_rng("droppath")

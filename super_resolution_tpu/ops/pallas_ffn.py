@@ -31,8 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ffn_kernel(xp, xc, xn, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                o_ref, hs, *, th: int, h_img: int, w_img: int):
+def _ffn_kernel(xp, xc, xn, gam_ref, bet_ref, w1_ref, b1_ref, wd_ref, bd_ref,
+                w2_ref, b2_ref, o_ref, hs, *, th: int, h_img: int, w_img: int,
+                ln: bool, residual: bool, eps: float):
     i = pl.program_id(1)
     r0 = i * th                       # first image row of this tile
     c = xc.shape[-1]
@@ -42,25 +43,41 @@ def _ffn_kernel(xp, xc, xn, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
     w1 = w1_ref[...]
     b1 = b1_ref[0].astype(jnp.float32)
 
-    def fc1(rows2d):
-        return jax.lax.dot_general(
-            rows2d, w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b1
+    def pre(rows2d):
+        """Optional fused LayerNorm (f32 stats over the lane/channel dim)."""
+        if not ln:
+            return rows2d
+        xf = rows2d.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xd = xf - mu
+        var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+        y = xd * jax.lax.rsqrt(var + eps)
+        y = y * gam_ref[0].astype(jnp.float32) + bet_ref[0].astype(jnp.float32)
+        return y.astype(rows2d.dtype)
 
-    h_cur = fc1(xc[0].reshape(th * w_img, c)).reshape(th, w_img, m2)
+    def fc1(rows2d):
+        return (jax.lax.dot_general(
+            pre(rows2d), w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1).astype(hs.dtype)
+
+    # fc1 output goes straight to the bf16 halo scratch — no separate f32
+    # tile-sized temporary (scoped-VMEM OOM at th=8 otherwise)
     rows = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0) + r0
-    h_cur = jnp.where(rows < h_img, h_cur, 0.0)
+    mask = (rows < h_img).astype(hs.dtype)
+    h_cur = fc1(xc[0].reshape(th * w_img, c)).reshape(th, w_img, m2) * mask
     # halo rows: last row of the prev tile / first row of the next tile
     # (the index maps clamp at the grid edges; the masks zero them there)
-    h_top = jnp.where(r0 >= 1, fc1(xp[0, th - 1]), 0.0)
-    h_bot = jnp.where(r0 + th < h_img, fc1(xn[0, 0]), 0.0)
+    h_top = jnp.where(r0 >= 1, fc1(xp[0, th - 1]),
+                      jnp.zeros((w_img, m2), hs.dtype))
+    h_bot = jnp.where(r0 + th < h_img, fc1(xn[0, 0]),
+                      jnp.zeros((w_img, m2), hs.dtype))
 
     # zero-padded columns: write into hs[:, 1:w+1], borders stay zero
     hs[:, 0] = jnp.zeros((th + 2, m2), hs.dtype)
     hs[:, w_img + 1] = jnp.zeros((th + 2, m2), hs.dtype)
-    hs[0, 1:w_img + 1] = h_top.astype(hs.dtype)
-    hs[pl.ds(1, th), 1:w_img + 1] = h_cur.astype(hs.dtype)
-    hs[th + 1, 1:w_img + 1] = h_bot.astype(hs.dtype)
+    hs[0, 1:w_img + 1] = h_top
+    hs[pl.ds(1, th), 1:w_img + 1] = h_cur
+    hs[th + 1, 1:w_img + 1] = h_bot
 
     # depthwise 3x3 on the tile's th interior rows
     wd = wd_ref[...].astype(jnp.float32)              # (3, 3, 2M)
@@ -76,24 +93,18 @@ def _ffn_kernel(xp, xc, xn, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
         g.reshape(th * w_img, m).astype(xc.dtype), w2_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    if residual:    # y = x + FFN(LN(x)); requires C_out == C
+        out = out + xc[0].reshape(th * w_img, c).astype(jnp.float32)
     o_ref[0] = out.reshape(th, w_img, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "interpret"))
-def gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2, *, tile_rows: int = 8,
-                    interpret: bool | None = None):
-    """Fused FFN forward.
-
-    Args:
-      x: (B, H, W, C); w1 (C, 2M), b1 (2M,); wd (3, 3, 2M), bd (2M,);
-      w2 (M, C_out), b2 (C_out,).
-    Returns:
-      (B, H, W, C_out) in x.dtype.
-    """
+def _run(x, gamma, beta, w1, b1, wd, bd, w2, b2, *, ln: bool, residual: bool,
+         eps: float, tile_rows: int, interpret):
     b, h, w, c = x.shape
     m2 = w1.shape[1]
     c_out = w2.shape[1]
+    if residual and c_out != c:
+        raise ValueError(f"residual needs C_out == C, got {c_out} != {c}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th = tile_rows
@@ -108,23 +119,24 @@ def gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2, *, tile_rows: int = 8,
         (1, th, w, c),
         lambda b_, i: (b_, jnp.clip(i + off, 0, nt - 1), 0, 0),
         memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, th=th, h_img=h, w_img=w),
+        functools.partial(_ffn_kernel, th=th, h_img=h, w_img=w,
+                          ln=ln, residual=residual, eps=eps),
         grid=grid,
         in_specs=[
             row_block(-1), row_block(0), row_block(+1),
+            vec(c), vec(c),
             pl.BlockSpec((c, m2), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m2), lambda b_, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec(m2),
             pl.BlockSpec((3, 3, m2), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m2), lambda b_, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec(m2),
             pl.BlockSpec((m2 // 2, c_out), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out), lambda b_, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec(c_out),
         ],
         out_specs=pl.BlockSpec((1, th, w, c_out), lambda b_, i: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -133,9 +145,41 @@ def gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2, *, tile_rows: int = 8,
             pltpu.VMEM((th + 2, w + 2, m2), x.dtype),    # padded fc1 out
         ],
         interpret=interpret,
-    )(x, x, x, w1, b1.reshape(1, m2), wd, bd.reshape(1, m2),
-      w2, b2.reshape(1, c_out))
+    )(x, x, x, gamma.reshape(1, c), beta.reshape(1, c),
+      w1, b1.reshape(1, m2), wd, bd.reshape(1, m2), w2,
+      b2.reshape(1, c_out))
     return out[:, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def gated_dconv_ffn(x, w1, b1, wd, bd, w2, b2, *, tile_rows: int = 4,
+                    interpret: bool | None = None):
+    """Fused FFN forward.
+
+    Args:
+      x: (B, H, W, C); w1 (C, 2M), b1 (2M,); wd (3, 3, 2M), bd (2M,);
+      w2 (M, C_out), b2 (C_out,).
+    Returns:
+      (B, H, W, C_out) in x.dtype.
+    """
+    c = x.shape[-1]
+    one = jnp.ones((c,), x.dtype)
+    return _run(x, one, one, w1, b1, wd, bd, w2, b2, ln=False,
+                residual=False, eps=0.0, tile_rows=tile_rows,
+                interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+def gated_dconv_ffn_block(x, gamma, beta, w1, b1, wd, bd, w2, b2, *,
+                          eps: float = 1e-5, tile_rows: int = 4,
+                          interpret: bool | None = None):
+    """Fused  x + FFN(LayerNorm(x))  — the full HAB mlp residual
+    (ref: hat_arch.py:237) in one VMEM pass: LN stats in f32 over the
+    channel (lane) dim, fc1/fc2 on the MXU, 3x3 depthwise + SiLU-GLU on
+    the VPU, residual added before the single output write."""
+    return _run(x, gamma, beta, w1, b1, wd, bd, w2, b2, ln=True,
+                residual=True, eps=eps, tile_rows=tile_rows,
+                interpret=interpret)
 
 
 def ffn_reference(x, w1, b1, wd, bd, w2, b2):
@@ -172,17 +216,52 @@ def _ffn_ad_bwd(res, g):
 gated_dconv_ffn_ad.defvjp(_ffn_ad_fwd, _ffn_ad_bwd)
 
 
+def ffn_block_reference(x, gamma, beta, w1, b1, wd, bd, w2, b2,
+                        eps: float = 1e-5):
+    """Unfused x + FFN(LN(x)) (backward path + oracle)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xd = xf - mu
+    var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+    y = (xd * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+         + beta.astype(jnp.float32)).astype(x.dtype)
+    return x + ffn_reference(y, w1, b1, wd, bd, w2, b2)
+
+
+@jax.custom_vjp
+def gated_dconv_ffn_block_ad(x, gamma, beta, w1, b1, wd, bd, w2, b2):
+    """Fused forward, XLA backward."""
+    return gated_dconv_ffn_block(x, gamma, beta, w1, b1, wd, bd, w2, b2)
+
+
+def _blk_fwd(x, gamma, beta, w1, b1, wd, bd, w2, b2):
+    args = (x, gamma, beta, w1, b1, wd, bd, w2, b2)
+    return gated_dconv_ffn_block(*args), args
+
+
+def _blk_bwd(res, g):
+    _, vjp = jax.vjp(ffn_block_reference, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+gated_dconv_ffn_block_ad.defvjp(_blk_fwd, _blk_bwd)
+
+
 def ffn_fused_enabled() -> bool:
-    """Route the module through the fused kernel on TPU
+    """Route HAB mlp residuals through the fused block kernel on TPU
     (SR_TPU_FFN=fused|xla overrides)."""
     import os
+
+    import jax
 
     mode = os.environ.get("SR_TPU_FFN", "auto").lower()
     if mode == "fused":
         return True
     if mode == "xla":
         return False
-    # default OFF until the kernel measures ahead of XLA at bench shapes
-    # (v1 manual-DMA version was throughput-neutral: 39.6 vs 38.4 ms,
-    # B8 320x320x180 bf16 on v5e); flip via SR_TPU_FFN=fused to test.
-    return False
+    # Measured on v5e (scripts/compare_ffn.py, B8 320x320x180 bf16,
+    # fori-amortized protocol): x + FFN(LN(x)) block XLA 17.83 ms vs
+    # fused 13.33 ms (-25%). The v1 manual-DMA kernel was neutral; v2's
+    # row-shifted BlockSpec pipeline + bf16 halo scratch + th=4 (scoped
+    # VMEM cap) is what wins.
+    return jax.default_backend() == "tpu"

@@ -31,6 +31,57 @@ def test_fused_ffn_matches_module(rng):
         np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"{(h, w)}")
 
 
+def test_fused_ffn_block_matches_hab_tail(rng):
+    """gated_dconv_ffn_block == x + FFN(LayerNorm(x)) (the HAB mlp
+    residual), including gradient via the custom_vjp XLA backward."""
+    from flax import linen as nn
+
+    from super_resolution_tpu.ops.pallas_ffn import (ffn_block_reference,
+                                                     gated_dconv_ffn_block,
+                                                     gated_dconv_ffn_block_ad)
+
+    dim = 12
+    mod = GatedDconvFFN(dim=dim, mlp_ratio=2.0)
+    ln = nn.LayerNorm(epsilon=1e-5)
+    for (h, w) in [(8, 16), (7, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, dim)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        lnp = ln.init(jax.random.PRNGKey(1), x)["params"]
+        lnp = jax.tree.map(
+            lambda a: jnp.asarray(
+                rng.standard_normal(a.shape).astype(np.float32)), lnp)
+        ref = np.asarray(x + mod.apply({"params": params},
+                                       ln.apply({"params": lnp}, x)))
+        args = (x, lnp["scale"], lnp["bias"], *_params_to_args(params))
+        got = np.asarray(gated_dconv_ffn_block(*args, tile_rows=4,
+                                               interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"{(h, w)}")
+        np.testing.assert_allclose(np.asarray(ffn_block_reference(*args)),
+                                   ref, atol=2e-5)
+        g = jax.grad(lambda *a: jnp.sum(gated_dconv_ffn_block_ad(*a) ** 2))(
+            *args)
+        g_ref = jax.grad(lambda *a: jnp.sum(ffn_block_reference(*a) ** 2))(
+            *args)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+def test_hab_routes_fused_block(rng, monkeypatch):
+    """HAB with SR_TPU_FFN=fused (interpret mode on CPU) matches the
+    default XLA composition."""
+    from super_resolution_tpu.models.hat_arch import HAB
+
+    mod = HAB(dim=16, num_heads=2, window_size=8, mlp_ratio=2.0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("SR_TPU_FFN", "xla")
+    ref = np.asarray(mod.apply({"params": params}, x))
+    monkeypatch.setenv("SR_TPU_FFN", "fused")
+    got = np.asarray(mod.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_fused_ffn_bf16(rng):
     dim = 12
     mod = GatedDconvFFN(dim=dim, mlp_ratio=2.0)
