@@ -79,12 +79,28 @@ def main():
     bias = jnp.asarray(
         table[rpi.reshape(-1)].reshape(nq, nk, args.heads).transpose(2, 0, 1))
 
+    from super_resolution_tpu.ops.pallas_attention import fused_attention_v3
+
     scale = d ** -0.5
-    xla_fn = jax.jit(lambda a, b, c: jnp.mean(
-        attention_with_bias_auto(a, b, c, bias, scale=scale,
-                                 slab=args.slab).astype(jnp.float32)))
-    pallas_fn = jax.jit(lambda a, b, c: jnp.mean(
-        fused_attention(a, b, c, bias, scale=scale).astype(jnp.float32)))
+    LOOP = 10  # amortize dispatch/tunnel latency inside one jit
+
+    def looped(core):
+        def run(a, b, c):
+            def body(i, acc):
+                # the (1 + eps*acc) factor creates a genuine sequential
+                # dependency so the loop can't be collapsed; it adds one
+                # cheap elementwise pass per iteration
+                ai = a * (1 + 1e-12 * acc).astype(a.dtype)
+                return jnp.mean(core(ai, b, c).astype(jnp.float32))
+            return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
+        return jax.jit(run)
+
+    xla_fn = looped(lambda a, b, c: attention_with_bias_auto(
+        a, b, c, bias, scale=scale, slab=args.slab))
+    pallas_fn = looped(lambda a, b, c: fused_attention(
+        a, b, c, bias, scale=scale))
+    pallas3_fn = looped(lambda a, b, c: fused_attention_v3(
+        a, b, c, bias, scale=scale))
 
     # correctness vs the unslabbed einsum on a small prefix
     from super_resolution_tpu.ops.attention import attention_with_bias
@@ -95,6 +111,9 @@ def main():
         got = np.asarray(fused_attention(q[small], k[small], v[small], bias,
                                          scale=scale), np.float32)
         max_err = float(np.abs(ref - got).max())
+        got3 = np.asarray(fused_attention_v3(q[small], k[small], v[small],
+                                             bias, scale=scale), np.float32)
+        max_err3 = float(np.abs(ref - got3).max())
     except Exception as e:  # pallas unavailable on this backend
         print(json.dumps({"error": f"pallas path failed: {e}"}))
         return
@@ -106,7 +125,7 @@ def main():
             t0 = time.perf_counter()
             float(fn(q, k, v))
             times.append(time.perf_counter() - t0)
-        return float(np.median(times) * 1e3)
+        return float(np.median(times) * 1e3) / LOOP
 
     result = {
         "backend": jax.devices()[0].platform,
@@ -115,9 +134,12 @@ def main():
                  f"{args.dtype}",
         "xla_ms": bench(xla_fn),
         "pallas_ms": bench(pallas_fn),
+        "pallas_v3_ms": bench(pallas3_fn),
         "max_abs_err": max_err,
+        "max_abs_err_v3": max_err3,
     }
     result["speedup"] = result["xla_ms"] / result["pallas_ms"]
+    result["speedup_v3"] = result["xla_ms"] / result["pallas_v3_ms"]
     print(json.dumps(result))
 
 

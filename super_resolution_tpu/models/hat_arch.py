@@ -242,23 +242,38 @@ class OCAB(nn.Module):
         q = self.q_proj(x)                                    # (B,H,W,C)
         kv = self.kv_proj(y)                                  # (B,H,W,2C)
 
-        q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
-        kv_windows = extract_overlap_windows(kv, ws, ow)      # (B*nW, ow^2, 2C)
-        k_windows = kv_windows[..., :c]
-        v_windows = kv_windows[..., c:]
-
-        bw = q_windows.shape[0]
         d = c // self.num_heads
-        qh = q_windows.reshape(bw, ws * ws, self.num_heads, d).transpose(0, 2, 1, 3)
-        kh = k_windows.reshape(bw, ow * ow, self.num_heads, d).transpose(0, 2, 1, 3)
-        vh = v_windows.reshape(bw, ow * ow, self.num_heads, d).transpose(0, 2, 1, 3)
-
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
-        out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
 
-        out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
-        x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            ocab_attention_supported
+        if _pallas_attention_enabled() and ocab_attention_supported(ws, ow):
+            # one kernel for the whole windowed middle: windowing, overlap
+            # extraction, head split, attention and window_reverse all
+            # happen in VMEM (ops/pallas_attention.py::fused_ocab_attention
+            # — 104 -> 29 ms per OCAB at the production tile batch)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_ocab_attention_ad
+            x = fused_ocab_attention_ad(q, kv, bias, self.num_heads, ws, ow,
+                                        d ** -0.5)
+        else:
+            q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
+            kv_windows = extract_overlap_windows(kv, ws, ow)  # (BW, ow^2, 2C)
+            bw = q_windows.shape[0]
+            k_windows = kv_windows[..., :c]
+            v_windows = kv_windows[..., c:]
+            qh = q_windows.reshape(bw, ws * ws, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            kh = k_windows.reshape(bw, ow * ow, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            vh = v_windows.reshape(bw, ow * ow, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
+            x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         x = self.proj(x) + shortcut
         return x + self.mlp_2(gelu_exact(self.mlp_0(self.norm2(x))))
 

@@ -119,6 +119,236 @@ def fused_attention(q, k, v, bias, *, scale: float | None = None,
     return out[:bw]
 
 
+def _attn_kernel_v3(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                    heads: int):
+    """All heads per program; per-(window, head) scores live in one small
+    reused f32 register block, so the window block (tw) can be chosen by
+    the k/v footprint instead of by a (tw, heads, Nq, Nk) score tensor."""
+    tw = q_ref.shape[0]
+    for w in range(tw):
+        for h in range(heads):
+            q = q_ref[w, h]                      # (Nq, d)
+            k = k_ref[w, h]                      # (Nk, d)
+            v = v_ref[w, h]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (Nq, Nk) f32
+            s = s * scale + bias_ref[h].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (Nq, d)
+            o_ref[w, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_windows",
+                                             "interpret"))
+def fused_attention_v3(q, k, v, bias, *, scale: float | None = None,
+                       block_windows: int = 0, interpret: bool | None = None):
+    """v3: grid over window blocks only; q/k/v for ALL heads fetched once
+    per program (v2 re-fetched k/v per head via the head grid axis), and
+    the f32 score buffer is (Nq, Nk) for one pair at a time, so tw is set
+    by the k/v VMEM footprint. Fewer, fatter programs.
+
+    Shapes as fused_attention. block_windows 0 = auto.
+    """
+    bw, heads, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    esize = jnp.dtype(q.dtype).itemsize
+    dpad = max(-(-d // 128) * 128, 128)
+    # per-window VMEM: q/k/v/out lane-padded blocks x double buffering
+    per_window = heads * esize * 2 * (nq * dpad + 2 * nk * dpad + nq * dpad)
+    # minus the resident f32 bias block and two (Nq, Nk) f32 score buffers
+    budget = 11 * 1024 * 1024 - 4 * heads * nq * nk - 8 * nq * nk
+    tw = block_windows or max(1, budget // per_window)
+    tw = min(tw, bw)
+    pad = (-bw) % tw
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad,) + q.shape[1:], q.dtype)])
+        k = jnp.concatenate([k, jnp.zeros((pad,) + k.shape[1:], k.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+    bw_p = q.shape[0]
+
+    grid = (bw_p // tw,)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_v3, scale=scale, heads=heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tw, heads, nq, d), lambda w: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, heads, nk, d), lambda w: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, heads, nk, d), lambda w: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, nq, nk), lambda w: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tw, heads, nq, d), lambda w: (w, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw_p, heads, nq, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+    return out[:bw]
+
+
+def _ocab_kernel(q_ref, kv_ref, bias_ref, o_ref, *, heads: int, ws: int,
+                 ow: int, scale: float):
+    c = q_ref.shape[-1]
+    d = c // heads
+    q = q_ref[0].reshape(ws * ws, c)                 # (Nq, C)
+    kv = kv_ref[0].reshape(ow * ow, 2 * c)           # (Nk, 2C)
+    outs = []
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = kv[:, h * d:(h + 1) * d]
+        vh = kv[:, c + h * d:c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (Nq, Nk) f32
+        s = s * scale + bias_ref[h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(kv.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))     # (Nq, d)
+    o = jnp.concatenate(outs, axis=-1)               # (Nq, C)
+    o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
+
+
+def ocab_attention_supported(window_size: int, overlap_win: int) -> bool:
+    """Mosaic needs the Element-indexed kv block's sublane dim (ow)
+    divisible by 8; ws must divide the image (caller pads)."""
+    return overlap_win % 8 == 0 and window_size % 8 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "overlap_win", "scale",
+                                             "interpret"))
+def fused_ocab_attention(q_img, kv_img, bias, *, heads: int,
+                         window_size: int, overlap_win: int,
+                         scale: float | None = None,
+                         interpret: bool | None = None):
+    """Whole OCAB attention middle on images, windowing done in VMEM.
+
+    Replaces the chain  window_partition(q) -> extract_overlap_windows(kv)
+    -> per-head transposes -> attention -> head merge -> window_reverse
+    (ref: hat_arch.py:326-393) with ONE kernel: q is read as ws x ws image
+    blocks, kv as overlapping ow x ow blocks via pl.Element start indices
+    into the zero-padded kv image, heads are lane slices, and the output
+    is written back in image layout. None of the (BW, Nk, 2C) overlap
+    tensor, its head-split transposes, or the window_reverse copy ever
+    touch HBM — measured 23 + ~28 + ~7 ms of pure layout traffic per OCAB
+    at the production tile batch (scripts/profile_ocab.py).
+
+    Args:
+      q_img:  (B, H, W, C) q projection, H and W multiples of window_size.
+      kv_img: (B, H, W, 2C) kv projection (K = channels [0, C), V = rest).
+      bias:   (heads, ws^2, ow^2) f32.
+    Returns:
+      (B, H, W, C) attention output in image layout (pre-window_reverse
+      equivalent already applied).
+    """
+    b, h_img, w_img, c = q_img.shape
+    ws, ow = window_size, overlap_win
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = (ow - ws) // 2
+    kv_pad = jnp.pad(kv_img, ((0, 0), (p, p), (p, p), (0, 0)))
+    nwy, nwx = h_img // ws, w_img // ws
+
+    grid = (b, nwy, nwx)
+    out = pl.pallas_call(
+        functools.partial(_ocab_kernel, heads=heads, ws=ws, ow=ow,
+                          scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(1), pl.Element(ow), pl.Element(ow),
+                          pl.Element(2 * c)),
+                         lambda bb, i, j, _ws=ws: (bb, i * _ws, j * _ws, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, ws * ws, ow * ow),
+                         lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, ws, c),
+                               lambda bb, i, j: (bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), q_img.dtype),
+        interpret=interpret,
+    )(q_img, kv_pad, bias)
+    return out
+
+
+def ocab_attention_reference(q_img, kv_img, bias, heads: int,
+                             window_size: int, overlap_win: int,
+                             scale: float | None = None):
+    """XLA oracle/backward for fused_ocab_attention."""
+    from super_resolution_tpu.ops.attention import attention_with_bias
+    from super_resolution_tpu.ops.windowing import (extract_overlap_windows,
+                                                    window_partition,
+                                                    window_reverse)
+
+    b, h_img, w_img, c = q_img.shape
+    ws, ow = window_size, overlap_win
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    qw = window_partition(q_img, ws).reshape(-1, ws * ws, c)
+    kvw = extract_overlap_windows(kv_img, ws, ow)
+    bw = qw.shape[0]
+    qh = qw.reshape(bw, ws * ws, heads, d).transpose(0, 2, 1, 3)
+    kh = kvw[..., :c].reshape(bw, ow * ow, heads, d).transpose(0, 2, 1, 3)
+    vh = kvw[..., c:].reshape(bw, ow * ow, heads, d).transpose(0, 2, 1, 3)
+    out = attention_with_bias(qh, kh, vh, bias, scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
+    return window_reverse(out.reshape(-1, ws, ws, c), ws, h_img, w_img)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_ocab_attention_ad(q_img, kv_img, bias, heads, window_size,
+                            overlap_win, scale):
+    """Fused OCAB attention forward, XLA backward."""
+    return fused_ocab_attention(q_img, kv_img, bias, heads=heads,
+                                window_size=window_size,
+                                overlap_win=overlap_win, scale=scale)
+
+
+def _ocab_ad_fwd(q_img, kv_img, bias, heads, window_size, overlap_win,
+                 scale):
+    return (fused_ocab_attention(q_img, kv_img, bias, heads=heads,
+                                 window_size=window_size,
+                                 overlap_win=overlap_win, scale=scale),
+            (q_img, kv_img, bias))
+
+
+def _ocab_ad_bwd(heads, window_size, overlap_win, scale, res, g):
+    q_img, kv_img, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c_: ocab_attention_reference(
+            a, b_, c_, heads, window_size, overlap_win, scale),
+        q_img, kv_img, bias)
+    return vjp(g.astype(q_img.dtype))
+
+
+fused_ocab_attention_ad.defvjp(_ocab_ad_fwd, _ocab_ad_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_attention_ad(q, k, v, bias, scale):
     """fused_attention with a defined backward pass: Pallas forward, XLA

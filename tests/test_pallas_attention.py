@@ -57,3 +57,47 @@ def test_esc_with_pallas_backend_matches_xla(rng):
     ref = net_x.apply(variables, x)
     out = net_p.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_v3_matches_xla(rng):
+    from super_resolution_tpu.ops.pallas_attention import fused_attention_v3
+
+    bw, heads, nq, nk, d = 7, 3, 16, 36, 10
+    q = jnp.asarray(rng.standard_normal((bw, heads, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bw, heads, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bw, heads, nk, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, nq, nk)), jnp.float32)
+    ref = np.asarray(attention_with_bias(q, k, v, bias))
+    got = np.asarray(fused_attention_v3(q, k, v, bias, block_windows=2))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_ocab_pallas_routing_matches_xla(rng, monkeypatch):
+    """OCAB forced through the packed Pallas route (interpret on CPU)
+    matches the XLA head-transpose route."""
+    from super_resolution_tpu.models.hat_arch import OCAB
+
+    mod = OCAB(dim=24, window_size=16, overlap_ratio=0.5, num_heads=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 24)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("SR_TPU_ATTN", "xla")
+    ref = np.asarray(mod.apply({"params": params}, x))
+    monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+    got = np.asarray(mod.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_ocab_attention_matches_reference(rng):
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_ocab_attention, ocab_attention_reference)
+
+    b, hw, c, heads, ws = 2, 32, 24, 3, 16
+    ow = 24
+    q = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, hw, hw, 2 * c)), jnp.float32)
+    bias = jnp.asarray(
+        rng.standard_normal((heads, ws * ws, ow * ow)) * 0.02, jnp.float32)
+    ref = np.asarray(ocab_attention_reference(q, kv, bias, heads, ws, ow))
+    got = np.asarray(fused_ocab_attention(q, kv, bias, heads=heads,
+                                          window_size=ws, overlap_win=ow))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
