@@ -25,6 +25,7 @@ from typing import Sequence
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -160,14 +161,23 @@ class HAB(nn.Module):
         self.mlp = GatedDconvFFN(self.dim, self.mlp_ratio, 3, name="mlp")
 
     def __call__(self, x, deterministic: bool = True):
-        shortcut = x
-        x = self.norm1(x)
-        conv_x = self.conv_block(x)
-        attn_x = self.esc_attn(x)
-        if not deterministic and self.drop_path_rate > 0:
-            rng = self.make_rng("droppath")
-            attn_x = drop_path(attn_x, self.drop_path_rate, False, rng)
-        x = shortcut + attn_x + conv_x * self.conv_scale
+        from super_resolution_tpu.ops.pallas_hab import (hab_front_ad,
+                                                         hab_fused_enabled)
+
+        fuse_front = (hab_fused_enabled() and not self.is_initializing()
+                      and x.ndim == 4 and self.dim > self.esc_pdim
+                      and (deterministic or self.drop_path_rate == 0))
+        if fuse_front:
+            x = self._fused_front(x, hab_front_ad)
+        else:
+            shortcut = x
+            x = self.norm1(x)
+            conv_x = self.conv_block(x)
+            attn_x = self.esc_attn(x)
+            if not deterministic and self.drop_path_rate > 0:
+                rng = self.make_rng("droppath")
+                attn_x = drop_path(attn_x, self.drop_path_rate, False, rng)
+            x = shortcut + attn_x + conv_x * self.conv_scale
         from super_resolution_tpu.ops.pallas_ffn import (
             ffn_fused_enabled, gated_dconv_ffn_block_ad)
 
@@ -190,6 +200,55 @@ class HAB(nn.Module):
             rng = self.make_rng("droppath")
             mlp_x = drop_path(mlp_x, self.drop_path_rate, False, rng)
         return x + mlp_x
+
+    def _fused_front(self, x, hab_front_ad):
+        """First HAB residual via the fused Pallas front
+        (ops/pallas_hab.py): the kernel emits LN1(x), the pre-gate CAB
+        tensor and both GAP partial sums in one pass; the GAP-dependent
+        tails (ECA gate, ESC dynamic-kernel head) and the branch assembly
+        run in XLA, which fuses them into the aggregation einsums."""
+        from super_resolution_tpu.ops.conv import (conv2d_nhwc_s2d,
+                                                   dynamic_depthwise_conv3x3)
+
+        b, h, w, c = x.shape
+        pdim = self.esc_pdim
+        n1 = self.norm1.variables["params"]
+        cb = self.conv_block.variables["params"]
+        ln1, cab_mid, gap_cab, gap16 = hab_front_ad(
+            x, n1["scale"], n1["bias"],
+            cb["cab_0"]["kernel"], cb["cab_0"]["bias"],
+            cb["cab_2"]["kernel"], cb["cab_2"]["bias"], _LN_EPS, pdim)
+        inv_hw = 1.0 / (h * w)
+
+        # ECA gate: GAP -> conv1d(k) -> sigmoid (ref: hat_arch.py:66-78)
+        wk = cb["cab_3"]["conv"]["kernel"]                 # (k, 1, 1)
+        ksz = wk.shape[0]
+        gd = (gap_cab * inv_hw).astype(x.dtype)            # (B, C)
+        gate = jax.lax.conv_general_dilated(
+            gd[:, :, None], wk.astype(gd.dtype), (1,),
+            [(ksz // 2, ksz // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"))[:, :, 0]
+        gate = nn.sigmoid(gate)
+
+        # ESC dynamic-kernel head (ref: esc_arch.py:95-100)
+        ep = self.esc_attn.variables["params"]
+        plk = ep["core"]["plk"]
+        g16 = (gap16 * inv_hw).astype(x.dtype)             # (B, pdim)
+        dk = g16 @ plk["dwc_proj_1"]["kernel"] + plk["dwc_proj_1"]["bias"]
+        dk = gelu_exact(dk)
+        dk = dk @ plk["dwc_proj_3"]["kernel"] + plk["dwc_proj_3"]["bias"]
+        dk = dk.reshape(-1, pdim, 3, 3).transpose(0, 2, 3, 1)
+
+        x1 = ln1[..., :pdim]
+        y1 = (conv2d_nhwc_s2d(x1, ep["plk_filter"])
+              + dynamic_depthwise_conv3x3(x1, dk))
+        ak = ep["core"]["aggr"]["kernel"][0, 0]                    # (C, C)
+        attn_x = (jnp.einsum("bhwc,cd->bhwd", y1, ak[:pdim].astype(y1.dtype))
+                  + jnp.einsum("bhwc,cd->bhwd", ln1[..., pdim:],
+                               ak[pdim:].astype(x.dtype))
+                  + ep["core"]["aggr"]["bias"].astype(x.dtype))
+        return (x + attn_x
+                + self.conv_scale * cab_mid * gate[:, None, None, :])
 
 
 class OCAB(nn.Module):
