@@ -210,17 +210,30 @@ class WindowAttentionESC(nn.Module):
 
         qkv = self.to_qkv(x)                                   # (B,Hp,Wp,3C)
         hp, wp = x.shape[1], x.shape[2]
-        wins = window_partition(qkv, ws).reshape(-1, ws * ws, 3, c)
-        wins = wins.transpose(2, 0, 1, 3)                      # (3, B*nW, N, C)
-
         bias = self.relative_position_bias[:, self._rpe_idx]   # (heads, N, N)
         from super_resolution_tpu.ops.attention import _pallas_attention_enabled
-        if self.use_pallas or _pallas_attention_enabled():
-            from super_resolution_tpu.ops.pallas_attention import window_attention_fused
-            out = window_attention_fused(wins, self.num_heads, bias)
+        pallas_on = self.use_pallas or _pallas_attention_enabled()
+        if pallas_on and ws % 8 == 0 and not self.is_initializing():
+            # MSA megakernel straight on the qkv image: windowing, head
+            # split, attention and reverse all in VMEM
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_msa_attention_ad
+            n = ws * ws
+            d = c // self.num_heads
+            out = fused_msa_attention_ad(
+                qkv, bias.astype(jnp.float32),
+                jnp.zeros((1, n, n), jnp.float32), self.num_heads, ws,
+                d ** -0.5)
         else:
-            out = window_msa(wins, self.num_heads, bias)
-        out = window_reverse(out.reshape(-1, ws, ws, c), ws, hp, wp)
+            wins = window_partition(qkv, ws).reshape(-1, ws * ws, 3, c)
+            wins = wins.transpose(2, 0, 1, 3)                  # (3, B*nW, N, C)
+            if pallas_on:
+                from super_resolution_tpu.ops.pallas_attention import \
+                    window_attention_fused
+                out = window_attention_fused(wins, self.num_heads, bias)
+            else:
+                out = window_msa(wins, self.num_heads, bias)
+            out = window_reverse(out.reshape(-1, ws, ws, c), ws, hp, wp)
         return self.to_out(out[:, :h, :w, :])
 
 

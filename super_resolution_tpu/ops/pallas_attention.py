@@ -349,6 +349,149 @@ def _ocab_ad_bwd(heads, window_size, overlap_win, scale, res, g):
 fused_ocab_attention_ad.defvjp(_ocab_ad_fwd, _ocab_ad_bwd)
 
 
+def _msa_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
+                scale: float):
+    c = o_ref.shape[-1]
+    d = c // heads
+    n = ws * ws
+    x = qkv_ref[0].reshape(n, 3 * c)
+    m = mask_ref[0].astype(jnp.float32)
+    outs = []
+    for h in range(heads):
+        q = x[:, h * d:(h + 1) * d]
+        k = x[:, c + h * d:c + (h + 1) * d]
+        v = x[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[h].astype(jnp.float32) + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(x.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1)
+    o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "scale", "interpret"))
+def fused_msa_attention(qkv_img, bias, mask, *, heads: int, window_size: int,
+                        scale: float | None = None,
+                        interpret: bool | None = None):
+    """Whole (S)W-MSA middle on images: window partition, head split,
+    attention (+RPB, + optional shift mask) and window reverse in VMEM.
+
+    The classic HAT / SwinIR path (ref: swinir_arch.py:95-192,
+    hat/archs/hat_arch.py window-MSA structure) otherwise pays HBM copies
+    for the window partition, the qkv head-split transposes, the output
+    merge, and window_reverse — same layout-traffic class the OCAB
+    megakernel eliminated.
+
+    Args:
+      qkv_img: (B, H, W, 3C) fused qkv projection of the (already
+        shifted, if shift_size>0) image; H, W multiples of window_size.
+      bias: (heads, N, N) f32 RPB, N = ws^2.
+      mask: (nW, N, N) f32 additive shift mask (nW = (H/ws)*(W/ws)), or
+        (1, N, N) zeros when not shifted.
+    Returns:
+      (B, H, W, C) attention output in image layout.
+    """
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    ws = window_size
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nwy, nwx = h_img // ws, w_img // ws
+    n = ws * ws
+    masked = mask.shape[0] != 1
+
+    grid = (b, nwy, nwx)
+    out = pl.pallas_call(
+        functools.partial(_msa_kernel, heads=heads, ws=ws, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c3), lambda bb, i, j: (bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n),
+                         (lambda bb, i, j, _x=nwx: (i * _x + j, 0, 0))
+                         if masked else (lambda bb, i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, ws, c),
+                               lambda bb, i, j: (bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), qkv_img.dtype),
+        interpret=interpret,
+    )(qkv_img, bias, mask)
+    return out
+
+
+def msa_attention_reference(qkv_img, bias, mask, heads: int,
+                            window_size: int, scale: float | None = None):
+    """XLA oracle/backward for fused_msa_attention."""
+    from super_resolution_tpu.ops.attention import attention_with_bias
+    from super_resolution_tpu.ops.windowing import (window_partition,
+                                                    window_reverse)
+
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    ws = window_size
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    xw = window_partition(qkv_img, ws).reshape(-1, ws * ws, c3)
+    bw, n, _ = xw.shape
+    qkv = xw.reshape(bw, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    full_bias = bias[None]                                  # (1, heads, N, N)
+    if mask.shape[0] != 1:
+        nw = mask.shape[0]
+        full_bias = bias[None, None] + mask[None, :, None]
+        q = q.reshape(bw // nw, nw, heads, n, d)
+        k = k.reshape(bw // nw, nw, heads, n, d)
+        v = v.reshape(bw // nw, nw, heads, n, d)
+        out = attention_with_bias(q, k, v, full_bias, scale=scale)
+        out = out.reshape(bw, heads, n, d)
+    else:
+        out = attention_with_bias(q, k, v, full_bias + mask[:1, None],
+                                  scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    return window_reverse(out.reshape(-1, ws, ws, c), ws, h_img, w_img)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_msa_attention_ad(qkv_img, bias, mask, heads, window_size, scale):
+    """Fused MSA forward, XLA backward."""
+    return fused_msa_attention(qkv_img, bias, mask, heads=heads,
+                               window_size=window_size, scale=scale)
+
+
+def _msa_ad_fwd(qkv_img, bias, mask, heads, window_size, scale):
+    return (fused_msa_attention(qkv_img, bias, mask, heads=heads,
+                                window_size=window_size, scale=scale),
+            (qkv_img, bias, mask))
+
+
+def _msa_ad_bwd(heads, window_size, scale, res, g):
+    qkv_img, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda a, b_, m_: msa_attention_reference(a, b_, m_, heads,
+                                                  window_size, scale),
+        qkv_img, bias, mask)
+    return vjp(g.astype(qkv_img.dtype))
+
+
+fused_msa_attention_ad.defvjp(_msa_ad_fwd, _msa_ad_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_attention_ad(q, k, v, bias, scale):
     """fused_attention with a defined backward pass: Pallas forward, XLA

@@ -101,3 +101,39 @@ def test_fused_ocab_attention_matches_reference(rng):
     got = np.asarray(fused_ocab_attention(q, kv, bias, heads=heads,
                                           window_size=ws, overlap_win=ow))
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_msa_attention_matches_reference(rng):
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_msa_attention, msa_attention_reference)
+
+    b, hw, c, heads, ws = 2, 16, 12, 3, 8
+    n = ws * ws
+    qkv = jnp.asarray(rng.standard_normal((b, hw, hw, 3 * c)), jnp.float32)
+    bias = jnp.asarray(
+        rng.standard_normal((heads, n, n)) * 0.02, jnp.float32)
+    for mask in [jnp.zeros((1, n, n), jnp.float32),
+                 jnp.asarray(rng.standard_normal(((hw // ws) ** 2, n, n)),
+                             jnp.float32)]:
+        ref = np.asarray(msa_attention_reference(qkv, bias, mask, heads, ws))
+        got = np.asarray(fused_msa_attention(qkv, bias, mask, heads=heads,
+                                             window_size=ws))
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_classic_hab_pallas_routing_matches_xla(rng, monkeypatch):
+    """HABClassic (shifted + unshifted) forced through the fused MSA route
+    (interpret on CPU) matches the XLA windowed path."""
+    from super_resolution_tpu.models.hat_classic_arch import HABClassic
+
+    for ss in [0, 4]:
+        mod = HABClassic(dim=24, num_heads=2, window_size=8, shift_size=ss,
+                         mlp_ratio=2.0, squeeze_factor=6)
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 24)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("SR_TPU_ATTN", "xla")
+        ref = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+        got = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"ss={ss}")
