@@ -54,12 +54,13 @@ def main():
         return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
 
     # Default plan measured fastest on v5e (r2): full-height bands kill the
-    # vertical halo entirely (tile_forward clamps 720+2*32 -> 720), and 5
-    # bands of 720x(256+64) batch exactly into one lax.map chunk.
-    # 256-square/chunk-8 (the reference-shaped plan) measures 4.95 vs 5.55.
-    tile_size = _pair(os.environ.get("BENCH_TILE", "720x256"))
+    # vertical halo entirely (tile_forward clamps 720+2*32 -> 720); 4 bands
+    # of 720x(320+64) batch exactly into one lax.map chunk. Sweep:
+    # 256-sq/8 4.95 | 720x192/7 5.36 | 720x256/5 5.55 | 720x320/4 6.05 |
+    # 720x640/2 OOM | whole-image/1 2.23.
+    tile_size = _pair(os.environ.get("BENCH_TILE", "720x320"))
     tile_pad = _pair(os.environ.get("BENCH_PAD", "32"))
-    chunk = int(os.environ.get("BENCH_CHUNK", 5))
+    chunk = int(os.environ.get("BENCH_CHUNK", 4))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
