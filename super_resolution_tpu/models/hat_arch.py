@@ -334,6 +334,18 @@ class OCAB(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
             x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         x = self.proj(x) + shortcut
+
+        from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
+                                                         mlp_block_ad)
+        if ffn_fused_enabled() and not self.is_initializing():
+            # fused x + MLP(LN(x)) tail (ops/pallas_ffn.py::mlp_block)
+            np2 = self.norm2.variables["params"]
+            return mlp_block_ad(
+                x, np2["scale"], np2["bias"],
+                self.mlp_0.variables["params"]["kernel"],
+                self.mlp_0.variables["params"]["bias"],
+                self.mlp_2.variables["params"]["kernel"],
+                self.mlp_2.variables["params"]["bias"])
         return x + self.mlp_2(gelu_exact(self.mlp_0(self.norm2(x))))
 
 

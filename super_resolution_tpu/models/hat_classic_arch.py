@@ -133,6 +133,26 @@ class Mlp(nn.Module):
         return self.fc2(gelu_exact(self.fc1(x)))
 
 
+
+def _fused_mlp_tail(block, x, deterministic=True):
+    """Route  x + Mlp(norm2(x))  through the fused Pallas mlp_block when
+    enabled (ops/pallas_ffn.py); None when the fused path is off."""
+    from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
+                                                     mlp_block_ad)
+
+    if not (ffn_fused_enabled() and not block.is_initializing()
+            and x.ndim == 4 and deterministic):
+        return None
+    np2 = block.norm2.variables["params"]
+    mp = block.mlp
+    return mlp_block_ad(
+        x, np2["scale"], np2["bias"],
+        mp.fc1.variables["params"]["kernel"],
+        mp.fc1.variables["params"]["bias"],
+        mp.fc2.variables["params"]["kernel"],
+        mp.fc2.variables["params"]["bias"])
+
+
 class HABClassic(nn.Module):
     """Classic hybrid attention block: (S)W-MSA + conv_scale * CAB, then MLP."""
 
@@ -198,6 +218,10 @@ class HABClassic(nn.Module):
             attn_x = drop_path(attn_x, self.drop_path_rate, False,
                                self.make_rng("droppath"))
         x = shortcut + attn_x + conv_x * self.conv_scale
+        fused = _fused_mlp_tail(
+            self, x, deterministic or self.drop_path_rate == 0)
+        if fused is not None:
+            return fused
         mlp_x = self.mlp(self.norm2(x))
         if not deterministic and self.drop_path_rate > 0:
             mlp_x = drop_path(mlp_x, self.drop_path_rate, False,
@@ -255,6 +279,9 @@ class OCABClassic(nn.Module):
 
         x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         x = self.proj(x) + shortcut
+        fused = _fused_mlp_tail(self, x)
+        if fused is not None:
+            return fused
         return x + self.mlp(self.norm2(x))
 
 

@@ -265,3 +265,111 @@ def ffn_fused_enabled() -> bool:
     # row-shifted BlockSpec pipeline + bf16 halo scratch + th=4 (scoped
     # VMEM cap) is what wins.
     return jax.default_backend() == "tpu"
+
+
+def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, eps: float):
+    c = xc.shape[-1]
+    rows = xc[0].reshape(-1, c)
+    xf = rows.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xd = xf - mu
+    var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+    y = (xd * jax.lax.rsqrt(var + eps)
+         * gam_ref[0].astype(jnp.float32)
+         + bet_ref[0].astype(jnp.float32)).astype(rows.dtype)
+    h = jax.lax.dot_general(
+        y, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    # exact-erf GELU via the A&S approximation (Mosaic has no erf)
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    z = h * (2.0 ** -0.5)
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    g = 0.5 * h * (1.0 + s * (1.0 - poly * jnp.exp(-az * az)))
+    out = jax.lax.dot_general(
+        g.astype(rows.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    out = out + xf
+    o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
+              tile_rows: int = 8, interpret: bool | None = None):
+    """Fused  x + fc2(gelu(fc1(LN(x))))  — the OCAB / classic-HAT MLP
+    residual tail (ref: hat_arch.py:391-392) in one VMEM pass. Pointwise
+    only: no halos, no scratch; each program LNs a row tile, runs both
+    matmuls on the MXU and writes the residual-added result once.
+
+    x: (B, H, W, C); w1 (C, HID); w2 (HID, C).
+    """
+    b, h, w, c = x.shape
+    hid = w1.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th = tile_rows
+    pad_r = (-h) % th
+    if pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    hp = x.shape[1]
+
+    grid = (b, hp // th)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(c), vec(c),
+            pl.BlockSpec((c, hid), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(hid),
+            pl.BlockSpec((hid, c), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(c),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), x.dtype),
+        interpret=interpret,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c), w1, b1.reshape(1, hid),
+      w2, b2.reshape(1, c))
+    return out[:, :h]
+
+
+def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-5):
+    """Unfused x + MLP(LN(x)) with exact erf GELU (oracle + backward)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xd = xf - mu
+    var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+    y = (xd * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+         + beta.astype(jnp.float32)).astype(x.dtype)
+    h = y @ w1 + b1
+    g = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+    return x + (g.astype(x.dtype) @ w2 + b2)
+
+
+@jax.custom_vjp
+def mlp_block_ad(x, gamma, beta, w1, b1, w2, b2):
+    """Fused forward, XLA backward."""
+    return mlp_block(x, gamma, beta, w1, b1, w2, b2)
+
+
+def _mlp_ad_fwd(x, gamma, beta, w1, b1, w2, b2):
+    args = (x, gamma, beta, w1, b1, w2, b2)
+    return mlp_block(*args), args
+
+
+def _mlp_ad_bwd(res, g):
+    _, vjp = jax.vjp(mlp_block_reference, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+mlp_block_ad.defvjp(_mlp_ad_fwd, _mlp_ad_bwd)

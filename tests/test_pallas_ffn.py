@@ -93,3 +93,63 @@ def test_fused_ffn_bf16(rng):
                           tile_rows=4, interpret=True)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=0.1)
+
+
+def test_mlp_block_matches_reference(rng):
+    from super_resolution_tpu.ops.pallas_ffn import (mlp_block,
+                                                     mlp_block_ad,
+                                                     mlp_block_reference)
+
+    c, hid = 18, 36
+    gamma = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((hid,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    for (h, w) in [(8, 16), (7, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        ref = np.asarray(mlp_block_reference(x, gamma, beta, w1, b1, w2, b2))
+        got = np.asarray(mlp_block(x, gamma, beta, w1, b1, w2, b2,
+                                   tile_rows=4, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"{(h, w)}")
+    g = jax.grad(lambda *a: jnp.sum(mlp_block_ad(*a) ** 2))(
+        x, gamma, beta, w1, b1, w2, b2)
+    g_ref = jax.grad(lambda *a: jnp.sum(mlp_block_reference(*a) ** 2))(
+        x, gamma, beta, w1, b1, w2, b2)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_ocab_fused_mlp_tail_matches(rng, monkeypatch):
+    from super_resolution_tpu.models.hat_arch import OCAB
+
+    mod = OCAB(dim=24, window_size=16, overlap_ratio=0.5, num_heads=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 24)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("SR_TPU_FFN", "xla")
+    monkeypatch.setenv("SR_TPU_ATTN", "xla")
+    ref = np.asarray(mod.apply({"params": params}, x))
+    monkeypatch.setenv("SR_TPU_FFN", "fused")
+    got = np.asarray(mod.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_classic_fused_mlp_tail_matches(rng, monkeypatch):
+    from super_resolution_tpu.models.hat_classic_arch import (HABClassic,
+                                                              OCABClassic)
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 24)).astype(np.float32))
+    for mod in [HABClassic(dim=24, num_heads=2, window_size=8,
+                           mlp_ratio=2.0, squeeze_factor=6),
+                OCABClassic(dim=24, num_heads=2, window_size=8,
+                            overlap_ratio=0.5, mlp_ratio=2.0)]:
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("SR_TPU_FFN", "xla")
+        monkeypatch.setenv("SR_TPU_ATTN", "xla")
+        ref = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.setenv("SR_TPU_FFN", "fused")
+        got = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=2e-5,
+                                   err_msg=type(mod).__name__)
