@@ -167,8 +167,16 @@ class HAB(nn.Module):
         fuse_front = (hab_fused_enabled() and not self.is_initializing()
                       and x.ndim == 4 and self.dim > self.esc_pdim
                       and (deterministic or self.drop_path_rate == 0))
+        from super_resolution_tpu.ops.pallas_hab import ln_split_enabled
+
+        split_ok = (not self.is_initializing() and x.ndim == 4
+                    and self.dim > self.esc_pdim
+                    and (deterministic or self.drop_path_rate == 0)
+                    and x.shape[1] % 8 == 0 and x.shape[2] % 4 == 0)
         if fuse_front:
             x = self._fused_front(x, hab_front_ad)
+        elif ln_split_enabled() and split_ok:
+            x = self._split_front(x)
         else:
             shortcut = x
             x = self.norm1(x)
@@ -249,6 +257,44 @@ class HAB(nn.Module):
                   + ep["core"]["aggr"]["bias"].astype(x.dtype))
         return (x + attn_x
                 + self.conv_scale * cab_mid * gate[:, None, None, :])
+
+    def _split_front(self, x):
+        """First HAB residual with the LN-split Pallas kernel
+        (ops/pallas_hab.py::ln_split): one streamed pass emits LN1(x),
+        the compact pdim slab and its pre-s2d layout, so the ESC branch
+        pays no strided-slice reads or s2d relayout; CAB runs the flax
+        module on ln1; the aggregation consumes full ln1 with the first
+        pdim kernel rows zeroed (same math, no slice copy)."""
+        from super_resolution_tpu.ops.conv import (conv2d_s2d_pre,
+                                                   dynamic_depthwise_conv3x3)
+        from super_resolution_tpu.ops.pallas_hab import ln_split_ad
+
+        b, h, w, c = x.shape
+        pdim = self.esc_pdim
+        n1 = self.norm1.variables["params"]
+        from super_resolution_tpu.ops.conv import s2d_transform
+        ln1, x1 = ln_split_ad(x, n1["scale"], n1["bias"], _LN_EPS, pdim)
+        x1s = s2d_transform(x1, 4)
+        conv_x = self.conv_block(ln1)
+
+        ep = self.esc_attn.variables["params"]
+        plkp = ep["core"]["plk"]
+        g16 = jnp.mean(x1.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        dk = g16 @ plkp["dwc_proj_1"]["kernel"] + plkp["dwc_proj_1"]["bias"]
+        dk = gelu_exact(dk)
+        dk = dk @ plkp["dwc_proj_3"]["kernel"] + plkp["dwc_proj_3"]["bias"]
+        dk = dk.reshape(-1, pdim, 3, 3).transpose(0, 2, 3, 1)
+        dyn = dynamic_depthwise_conv3x3(x1, dk)
+        stat = conv2d_s2d_pre(x1s, ep["plk_filter"].astype(x.dtype), (h, w),
+                              4)
+        y1 = stat + dyn
+        ak = ep["core"]["aggr"]["kernel"][0, 0]                # (C, C)
+        k2pad = jnp.concatenate(
+            [jnp.zeros((pdim, c), ak.dtype), ak[pdim:]], axis=0)
+        attn_x = (jnp.einsum("bhwc,cd->bhwd", y1, ak[:pdim].astype(y1.dtype))
+                  + jnp.einsum("bhwc,cd->bhwd", ln1, k2pad.astype(ln1.dtype))
+                  + ep["core"]["aggr"]["bias"].astype(x.dtype))
+        return x + attn_x + self.conv_scale * conv_x
 
 
 class OCAB(nn.Module):

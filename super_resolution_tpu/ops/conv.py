@@ -112,6 +112,39 @@ def _s2d_kernel(kernel_oihw, block: int):
     return t, -jmin_h, jmax_h, -jmin_w, jmax_w
 
 
+def s2d_transform(x, block: int = 4):
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C), phases major / channels minor
+    (the input layout conv2d_s2d_pre expects). H, W must divide block."""
+    b_, h, w, c = x.shape
+    blk = block
+    xs = x.reshape(b_, h // blk, blk, w // blk, blk, c)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // blk, w // blk,
+                                                  blk * blk * c)
+
+
+def conv2d_s2d_pre(xs, kernel_oihw, out_hw, block: int = 4, bias=None):
+    """s2d conv from an already-transformed input (see s2d_transform).
+
+    xs: (B, H/b, W/b, b*b*Cin); out_hw: the original (H, W).
+    Returns (B, H, W, Cout).
+    """
+    b_, hb, wb, _ = xs.shape
+    blk = block
+    h, w = out_hw
+    t, plo_h, phi_h, plo_w, phi_w = _s2d_kernel(kernel_oihw, blk)
+    out = lax.conv_general_dilated(
+        xs, t.astype(xs.dtype), window_strides=(1, 1),
+        padding=((plo_h, phi_h), (plo_w, phi_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    o = kernel_oihw.shape[0]
+    out = out.reshape(b_, hb, wb, blk, blk, o)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hb * blk, wb * blk, o)
+    out = out[:, :h, :w]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def conv2d_nhwc_s2d(x, kernel_oihw, bias=None, block: int = 4):
     """Same-padding NHWC conv via the space-to-depth transform.
 
@@ -127,23 +160,8 @@ def conv2d_nhwc_s2d(x, kernel_oihw, bias=None, block: int = 4):
     pad_w = (-w) % blk
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    hp, wp = x.shape[1], x.shape[2]
-    xs = x.reshape(b_, hp // blk, blk, wp // blk, blk, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hp // blk, wp // blk,
-                                                blk * blk * c)
-    t, plo_h, phi_h, plo_w, phi_w = _s2d_kernel(kernel_oihw, blk)
-    out = lax.conv_general_dilated(
-        xs, t.astype(x.dtype), window_strides=(1, 1),
-        padding=((plo_h, phi_h), (plo_w, phi_w)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    o = kernel_oihw.shape[0]
-    out = out.reshape(b_, hp // blk, wp // blk, blk, blk, o)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b_, hp, wp, o)
-    if pad_h or pad_w:
-        out = out[:, :h, :w]
-    if bias is not None:
-        out = out + bias
-    return out
+    xs = s2d_transform(x, blk)
+    return conv2d_s2d_pre(xs, kernel_oihw, (h, w), blk, bias=bias)
 
 
 def shifted_neighborhoods(x, k: int, mode: str = "zero"):

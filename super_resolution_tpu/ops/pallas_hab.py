@@ -268,3 +268,113 @@ def hab_fused_enabled() -> bool:
     # lowering pipelines the same work better. Kept behind SR_TPU_HAB=
     # fused for future iteration (e.g. channel-tiled conv2 accumulation).
     return False
+
+
+def _ln_split_kernel(xc, gam_ref, bet_ref, ln_out, x1_out, *,
+                     eps: float, pdim: int):
+    th, w, c = xc.shape[1], xc.shape[2], xc.shape[3]
+    rows = xc[0].reshape(th * w, c)
+    xf = rows.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xd = xf - mu
+    var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+    y = (xd * jax.lax.rsqrt(var + eps)
+         * gam_ref[0].astype(jnp.float32)
+         + bet_ref[0].astype(jnp.float32)).astype(ln_out.dtype)
+    y3 = y.reshape(th, w, c)
+    ln_out[0] = y3
+    x1_out[0] = y3[..., :pdim]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "pdim",
+                                             "tile_rows", "interpret"))
+def ln_split(x, gamma, beta, *, eps: float = 1e-5, pdim: int = 16,
+             tile_rows: int = 8, interpret: bool | None = None):
+    """One streamed pass producing the three layouts the HAB front needs:
+
+      ln1 = LayerNorm(x)                 (B, H, W, C)
+      x1  = ln1[..., :pdim] compact      (B, H, W, pdim)
+
+    The XLA composition pays ~3.9 ms for the LN alone plus ~3 ms for the
+    strided pdim-slice reads of the full-width tensor at the production
+    tile batch (scripts/profile_hab.py); here the slice is written while
+    the rows are VMEM-resident, and the cheap s2d of the COMPACT slab is
+    left to XLA (Mosaic cannot collapse sublane dims into lanes, so the
+    in-kernel s2d shuffle does not lower). H must divide tile_rows.
+    """
+    b, h, w, c = x.shape
+    th = tile_rows
+    if h % th:
+        raise ValueError(f"ln_split needs H % {th} == 0")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    grid = (b, h // th)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_ln_split_kernel, eps=eps, pdim=pdim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(c), vec(c),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w, pdim), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, h, w, pdim), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c))
+    return tuple(outs)
+
+
+def ln_split_reference(x, gamma, beta, eps: float = 1e-5, pdim: int = 16):
+    """Unfused composition (oracle + backward)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xd = xf - mu
+    var = jnp.mean(xd * xd, axis=-1, keepdims=True)
+    ln1 = (xd * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+           + beta.astype(jnp.float32)).astype(x.dtype)
+    return ln1, ln1[..., :pdim]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ln_split_ad(x, gamma, beta, eps, pdim):
+    """Fused forward, XLA backward."""
+    return ln_split(x, gamma, beta, eps=eps, pdim=pdim)
+
+
+def _lns_fwd(x, gamma, beta, eps, pdim):
+    return ln_split(x, gamma, beta, eps=eps, pdim=pdim), (x, gamma, beta)
+
+
+def _lns_bwd(eps, pdim, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: ln_split_reference(*a, eps=eps, pdim=pdim), *res)
+    return vjp(g)
+
+
+ln_split_ad.defvjp(_lns_fwd, _lns_bwd)
+
+
+def ln_split_enabled() -> bool:
+    """Route the HAB front's LN through ln_split on TPU
+    (SR_TPU_LNS=fused|xla overrides)."""
+    import os
+
+    mode = os.environ.get("SR_TPU_LNS", "auto").lower()
+    if mode == "fused":
+        return True
+    if mode == "xla":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"

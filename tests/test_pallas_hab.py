@@ -74,3 +74,35 @@ def test_hab_routes_fused_front(rng, monkeypatch):
     monkeypatch.setenv("SR_TPU_HAB", "fused")
     got = np.asarray(mod.apply({"params": params}, x))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_ln_split_matches_reference(rng):
+    from super_resolution_tpu.ops.pallas_hab import (ln_split,
+                                                     ln_split_reference)
+
+    c, pdim = 18, 8
+    gamma = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, c)).astype(np.float32))
+    ref = ln_split_reference(x, gamma, beta, pdim=pdim)
+    got = ln_split(x, gamma, beta, pdim=pdim, tile_rows=8, interpret=True)
+    for r, g, name in zip(ref, got, ["ln1", "x1"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5,
+                                   err_msg=name)
+
+
+def test_hab_routes_split_front(rng, monkeypatch):
+    """HAB via the LN-split front (interpret on CPU) matches the default
+    composition."""
+    from super_resolution_tpu.models.hat_arch import HAB
+
+    mod = HAB(dim=24, num_heads=2, window_size=8, mlp_ratio=2.0,
+              esc_pdim=16, esc_kernel=13)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 24)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("SR_TPU_FFN", "xla")
+    monkeypatch.setenv("SR_TPU_LNS", "xla")
+    ref = np.asarray(mod.apply({"params": params}, x))
+    monkeypatch.setenv("SR_TPU_LNS", "fused")
+    got = np.asarray(mod.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
