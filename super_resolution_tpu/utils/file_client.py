@@ -69,9 +69,53 @@ class LmdbBackend:
 
 
 class MemcachedBackend:
-    def __init__(self, *args, **kwargs):
-        raise ImportError("memcached backend requires pymemcache/mc; use "
-                          "'disk' or 'rawpack'")
+    """Minimal memcached reader over the text protocol (ref:
+    file_client.py:22-46 — the reference wraps the `mc` client lib; this
+    implementation speaks the protocol directly over a socket, so no
+    binding is needed). Keys are the file paths (percent-encoded: the
+    protocol forbids spaces/control chars in keys)."""
+
+    def __init__(self, server: str = "127.0.0.1:11211",
+                 timeout: float = 3.0, **kwargs):
+        host, _, port = server.partition(":")
+        self._addr = (host, int(port or 11211))
+        self._timeout = timeout
+        self._sock = None
+
+    def _connect(self):
+        import socket
+
+        s = socket.create_connection(self._addr, timeout=self._timeout)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return s
+
+    @staticmethod
+    def _encode_key(filepath) -> bytes:
+        from urllib.parse import quote
+
+        return quote(str(filepath), safe="/.-_").encode("ascii")[:250]
+
+    def get(self, filepath, client_key=None):
+        if self._sock is None:
+            self._sock = self._connect()
+        key = self._encode_key(filepath)
+        try:
+            self._sock.sendall(b"get " + key + b"\r\n")
+            buf = b""
+            while b"END\r\n" not in buf:
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("memcached closed the connection")
+                buf += chunk
+        except OSError:
+            self._sock = None
+            raise
+        if buf.startswith(b"END"):
+            raise KeyError(f"memcached miss for key {key!r}")
+        header, rest = buf.split(b"\r\n", 1)
+        # VALUE <key> <flags> <bytes>
+        nbytes = int(header.split()[3])
+        return rest[:nbytes]
 
 
 class FileClient:

@@ -206,3 +206,54 @@ def test_lmdb_roundtrip(tmp_path):
 
     out = imfrombytes(client.get("a", "gt"))
     np.testing.assert_array_equal(out, img)
+
+
+def test_memcached_backend_roundtrip():
+    """MemcachedBackend against an in-process fake memcached speaking the
+    text protocol (no external server in this environment)."""
+    import socket
+    import threading
+
+    from super_resolution_tpu.utils.file_client import FileClient
+
+    store = {b"datasets/img001.png": b"\x89PNG-fake-bytes",
+             b"a%20key/with.png": b"other"}
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        buf = b""
+        try:
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                buf += chunk
+                while b"\r\n" in buf:
+                    line, buf = buf.split(b"\r\n", 1)
+                    if not line.startswith(b"get "):
+                        continue
+                    key = line[4:]
+                    val = store.get(key)
+                    if val is None:
+                        conn.sendall(b"END\r\n")
+                    else:
+                        conn.sendall(b"VALUE " + key + b" 0 "
+                                     + str(len(val)).encode() + b"\r\n"
+                                     + val + b"\r\nEND\r\n")
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    fc = FileClient("memcached", server=f"127.0.0.1:{port}")
+    assert fc.get("datasets/img001.png") == b"\x89PNG-fake-bytes"
+    assert fc.get("a key/with.png") == b"other"    # space percent-encoded
+    with pytest.raises(KeyError):
+        fc.get("missing.png")
+    srv.close()
