@@ -63,10 +63,23 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 4))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
-    net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
-              window_size=16, compress_ratio=3, squeeze_factor=30,
-              conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
-              upscale=scale, upsampler="pixelshuffle")
+    arch = os.environ.get("BENCH_ARCH", "fork")
+    if arch == "classic":
+        # official-checkpoint HAT structure (W-MSA HAB; the BASELINE north
+        # star's Urban100 protocol runs these weights)
+        from super_resolution_tpu.models.hat_classic_arch import HATClassic
+
+        net = HATClassic(img_size=64, embed_dim=180, depths=(6,) * 6,
+                         num_heads=(6,) * 6, window_size=16,
+                         compress_ratio=3, squeeze_factor=30,
+                         conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
+                         drop_path_rate=0.0, upscale=scale,
+                         upsampler="pixelshuffle")
+    else:
+        net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6,
+                  num_heads=(6,) * 6, window_size=16, compress_ratio=3,
+                  squeeze_factor=30, conv_scale=0.01, overlap_ratio=0.5,
+                  mlp_ratio=2.0, upscale=scale, upsampler="pixelshuffle")
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
     if dtype is not None:
@@ -117,7 +130,8 @@ def main():
     uvalue = uh * scale * uw * scale / 1e6 / float(np.median(utimes))
 
     print(json.dumps({
-        "metric": "HAT-base x4 tiled inference throughput (HD input, "
+        "metric": f"HAT-base{'-classic' if arch == 'classic' else ''} x4 "
+                  "tiled inference throughput (HD input, "
                   f"tile {tile_size}/pad {tile_pad}, "
                   f"{'bf16' if dtype is not None else 'f32'}, 1 chip)",
         "value": round(value, 3),

@@ -29,7 +29,7 @@ from super_resolution_tpu.models.arch_util import gelu_exact
 from super_resolution_tpu.models.hat_classic_arch import PatchEmbedNorm
 from super_resolution_tpu.ops.attention import (attention_with_bias, attention_with_bias_auto,
                                                 relative_position_index_sa,
-                                                shift_attn_mask)
+                                                shift_attn_mask_jnp)
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
 from super_resolution_tpu.ops.windowing import window_partition, window_reverse
 from super_resolution_tpu.utils.registry import ARCH_REGISTRY
@@ -249,7 +249,7 @@ class ATDTransformerLayer(nn.Module):
 
         if ss > 0:
             shifted_qkv = jnp.roll(qkv, (-ss, -ss), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(h, w, ws, ss))
+            mask = shift_attn_mask_jnp(h, w, ws, ss)
         else:
             shifted_qkv, mask = qkv, None
         qkv_windows = window_partition(shifted_qkv, ws).reshape(-1, ws * ws,

@@ -30,7 +30,7 @@ from super_resolution_tpu.models.arch_util import MeanShift, drop_path, gelu_exa
 from super_resolution_tpu.ops.attention import (attention_with_bias, attention_with_bias_auto,
                                                 relative_position_index_oca,
                                                 relative_position_index_sa,
-                                                shift_attn_mask)
+                                                shift_attn_mask_jnp)
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
 from super_resolution_tpu.ops.windowing import (extract_overlap_windows,
                                                 window_partition, window_reverse)
@@ -184,7 +184,7 @@ class HABClassic(nn.Module):
 
         if ss > 0:
             shifted = jnp.roll(x, (-ss, -ss), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(hh, ww, ws, ss))
+            mask = shift_attn_mask_jnp(hh, ww, ws, ss)
         else:
             shifted, mask = x, None
 

@@ -19,7 +19,7 @@ from flax import linen as nn
 from super_resolution_tpu.models.arch_util import MeanShift, drop_path, gelu_exact
 from super_resolution_tpu.models.hat_classic_arch import (
     Mlp, PatchEmbedNorm, WindowAttentionClassic)
-from super_resolution_tpu.ops.attention import shift_attn_mask
+from super_resolution_tpu.ops.attention import shift_attn_mask_jnp
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
 from super_resolution_tpu.ops.windowing import window_partition, window_reverse
 from super_resolution_tpu.utils.registry import ARCH_REGISTRY
@@ -52,7 +52,7 @@ class SwinTransformerBlock(nn.Module):
 
         if ss > 0:
             shifted = jnp.roll(x, (-ss, -ss), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(h, w, ws, ss))
+            mask = shift_attn_mask_jnp(h, w, ws, ss)
         else:
             shifted, mask = x, None
         x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)

@@ -69,6 +69,26 @@ def shift_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.nda
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def shift_attn_mask_jnp(h: int, w: int, window_size: int, shift_size: int):
+    """shift_attn_mask built from on-device iota ops instead of a baked
+    numpy literal: at large image sizes the literal is enormous
+    ((H/ws * W/ws, ws^2, ws^2) f32 — ~280 MB for a 720x384 band at ws 16)
+    and oversizes the compiled program (the axon compile tunnel rejects
+    it outright). Shapes are static; values are computed by XLA."""
+    ws, ss = window_size, shift_size
+
+    def region(n):
+        idx = jnp.arange(n)
+        return jnp.where(idx < n - ws, 0,
+                         jnp.where(idx < n - ss, 1, 2)).astype(jnp.float32)
+
+    img = region(h)[:, None] * 3.0 + region(w)[None, :]         # (H, W)
+    mw = img.reshape(h // ws, ws, w // ws, ws)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)          # (nW, N)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
+
+
 def attention_with_bias(q, k, v, bias, scale=None, precision=None):
     """softmax(q k^T * scale + bias) v.
 

@@ -135,3 +135,13 @@ def test_conv2d_s2d_matches_direct(rng):
         b = np.asarray(conv2d_nhwc_s2d(x, kern, block=blk))
         np.testing.assert_allclose(a, b, atol=2e-3,
                                    err_msg=f"{(h, w, ci, co, k, blk)}")
+
+
+def test_shift_attn_mask_jnp_matches_numpy():
+    from super_resolution_tpu.ops.attention import (shift_attn_mask,
+                                                    shift_attn_mask_jnp)
+
+    for (h, w, ws, ss) in [(16, 16, 8, 4), (24, 16, 8, 4), (32, 48, 16, 8)]:
+        ref = shift_attn_mask(h, w, ws, ss)
+        got = np.asarray(shift_attn_mask_jnp(h, w, ws, ss))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{(h, w, ws, ss)}")
