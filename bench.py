@@ -129,11 +129,20 @@ def main():
         utimes.append(time.perf_counter() - t0)
     uvalue = uh * scale * uw * scale / 1e6 / float(np.median(utimes))
 
+    # peak device memory (the reference's protocol also reports peak
+    # alloc — test_direct_metrics.py:99-101); absent on some backends
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_mb = round(stats.get("peak_bytes_in_use", 0) / 2 ** 20)
+    except Exception:
+        peak_mb = None
+
     print(json.dumps({
         "metric": f"HAT-base{'-classic' if arch == 'classic' else ''} x4 "
                   "tiled inference throughput (HD input, "
                   f"tile {tile_size}/pad {tile_pad}, "
                   f"{'bf16' if dtype is not None else 'f32'}, 1 chip)",
+        "peak_device_mem_mb": peak_mb,
         "value": round(value, 3),
         "unit": "out_Mpix/s",
         "vs_baseline": round(value / BASELINE_LOCAL_OUT_MPIX_S, 2),
