@@ -133,9 +133,9 @@ def main():
     # alloc — test_direct_metrics.py:99-101); absent on some backends
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        peak_mb = round(stats.get("peak_bytes_in_use", 0) / 2 ** 20)
+        peak_mb = round(stats.get("peak_bytes_in_use", 0) / 2 ** 20) or None
     except Exception:
-        peak_mb = None
+        peak_mb = None  # not exposed by this backend (e.g. axon tunnel)
 
     print(json.dumps({
         "metric": f"HAT-base{'-classic' if arch == 'classic' else ''} x4 "
