@@ -261,23 +261,38 @@ class OCABClassic(nn.Module):
         x = self.norm1(x)
         qkv = self.qkv(x)                                      # (B,H,W,3C)
         q, kv = qkv[..., :c], qkv[..., c:]
-
-        q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
-        kv_windows = extract_overlap_windows(kv, ws, ow)
-        k_windows, v_windows = kv_windows[..., :c], kv_windows[..., c:]
-
-        bw = q_windows.shape[0]
         d = c // self.num_heads
-        qh = q_windows.reshape(bw, ws * ws, self.num_heads, d).transpose(0, 2, 1, 3)
-        kh = k_windows.reshape(bw, ow * ow, self.num_heads, d).transpose(0, 2, 1, 3)
-        vh = v_windows.reshape(bw, ow * ow, self.num_heads, d).transpose(0, 2, 1, 3)
-
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
-        out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
 
-        x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            ocab_attention_supported
+        if (_pallas_attention_enabled() and not self.is_initializing()
+                and ocab_attention_supported(ws, ow)
+                and h % ws == 0 and w % ws == 0):
+            # OCAB megakernel (windowing + heads + attention + reverse in
+            # VMEM — ops/pallas_attention.py::fused_ocab_attention)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_ocab_attention_ad
+            x = fused_ocab_attention_ad(q, kv, bias, self.num_heads, ws, ow,
+                                        d ** -0.5)
+        else:
+            q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
+            kv_windows = extract_overlap_windows(kv, ws, ow)
+            k_windows = kv_windows[..., :c]
+            v_windows = kv_windows[..., c:]
+            bw = q_windows.shape[0]
+            qh = q_windows.reshape(bw, ws * ws, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            kh = k_windows.reshape(bw, ow * ow, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            vh = v_windows.reshape(bw, ow * ow, self.num_heads,
+                                   d).transpose(0, 2, 1, 3)
+            out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
+            x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         x = self.proj(x) + shortcut
         fused = _fused_mlp_tail(self, x)
         if fused is not None:

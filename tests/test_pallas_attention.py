@@ -137,3 +137,18 @@ def test_classic_hab_pallas_routing_matches_xla(rng, monkeypatch):
         monkeypatch.setenv("SR_TPU_ATTN", "pallas")
         got = np.asarray(mod.apply({"params": params}, x))
         np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"ss={ss}")
+
+
+def test_ocab_classic_pallas_routing_matches_xla(rng, monkeypatch):
+    from super_resolution_tpu.models.hat_classic_arch import OCABClassic
+
+    mod = OCABClassic(dim=24, num_heads=2, window_size=16,
+                      overlap_ratio=0.5, mlp_ratio=2.0)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 24)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("SR_TPU_ATTN", "xla")
+    monkeypatch.setenv("SR_TPU_FFN", "xla")
+    ref = np.asarray(mod.apply({"params": params}, x))
+    monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+    got = np.asarray(mod.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
