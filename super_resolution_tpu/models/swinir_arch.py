@@ -55,15 +55,43 @@ class SwinTransformerBlock(nn.Module):
             mask = shift_attn_mask_jnp(h, w, ws, ss)
         else:
             shifted, mask = x, None
-        x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
-        attn_windows = self.attn(x_windows, mask=mask)
-        shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c), ws, h, w)
+
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        if (_pallas_attention_enabled() and not self.is_initializing()
+                and ws % 8 == 0 and h % ws == 0 and w % ws == 0):
+            # (S)W-MSA megakernel (shared with classic HAT —
+            # ops/pallas_attention.py::fused_msa_attention)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_msa_attention_ad
+            at = self.attn
+            d = c // self.num_heads
+            n = ws * ws
+            qkv_img = at.qkv(shifted)
+            bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
+            bias = bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            mask_arr = (mask.astype(jnp.float32) if mask is not None
+                        else jnp.zeros((1, n, n), jnp.float32))
+            out_img = fused_msa_attention_ad(qkv_img, bias, mask_arr,
+                                             self.num_heads, ws, d ** -0.5)
+            shifted = at.proj(out_img)
+        else:
+            x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
+            attn_windows = self.attn(x_windows, mask=mask)
+            shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c),
+                                     ws, h, w)
         x = jnp.roll(shifted, (ss, ss), axis=(1, 2)) if ss > 0 else shifted
 
         if not deterministic and self.drop_path_rate > 0:
             x = drop_path(x, self.drop_path_rate, False,
                           self.make_rng("droppath"))
         x = shortcut + x
+        from super_resolution_tpu.models.hat_classic_arch import \
+            _fused_mlp_tail
+        fused = _fused_mlp_tail(
+            self, x, deterministic or self.drop_path_rate == 0)
+        if fused is not None:
+            return fused
         mlp_x = self.mlp(self.norm2(x))
         if not deterministic and self.drop_path_rate > 0:
             mlp_x = drop_path(mlp_x, self.drop_path_rate, False,

@@ -152,3 +152,21 @@ def test_ocab_classic_pallas_routing_matches_xla(rng, monkeypatch):
     monkeypatch.setenv("SR_TPU_ATTN", "pallas")
     got = np.asarray(mod.apply({"params": params}, x))
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_swinir_block_pallas_routing_matches_xla(rng, monkeypatch):
+    from super_resolution_tpu.models.swinir_arch import SwinTransformerBlock
+
+    for ss in [0, 4]:
+        mod = SwinTransformerBlock(dim=24, num_heads=2, window_size=8,
+                                   shift_size=ss, mlp_ratio=2.0)
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 24)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("SR_TPU_ATTN", "xla")
+        monkeypatch.setenv("SR_TPU_FFN", "xla")
+        ref = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+        monkeypatch.setenv("SR_TPU_FFN", "fused")
+        got = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"ss={ss}")
