@@ -350,30 +350,32 @@ fused_ocab_attention_ad.defvjp(_ocab_ad_fwd, _ocab_ad_bwd)
 
 
 def _msa_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
-                scale: float):
+                scale: float, wb: int):
     c = o_ref.shape[-1]
     d = c // heads
     n = ws * ws
-    x = qkv_ref[0].reshape(n, 3 * c)
-    m = mask_ref[0].astype(jnp.float32)
-    outs = []
-    for h in range(heads):
-        q = x[:, h * d:(h + 1) * d]
-        k = x[:, c + h * d:c + (h + 1) * d]
-        v = x[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s * scale + bias_ref[h].astype(jnp.float32) + m
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(x.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1)
-    o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
+    for w_i in range(wb):                 # wb windows per program along x
+        x = qkv_ref[0, :, w_i * ws:(w_i + 1) * ws].reshape(n, 3 * c)
+        m = mask_ref[w_i].astype(jnp.float32)
+        outs = []
+        for h in range(heads):
+            q = x[:, h * d:(h + 1) * d]
+            k = x[:, c + h * d:c + (h + 1) * d]
+            v = x[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h].astype(jnp.float32) + m
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(x.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)
+        o_ref[0, :, w_i * ws:(w_i + 1) * ws] = \
+            o.reshape(ws, ws, c).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
@@ -410,27 +412,35 @@ def fused_msa_attention(qkv_img, bias, mask, *, heads: int, window_size: int,
     nwy, nwx = h_img // ws, w_img // ws
     n = ws * ws
     masked = mask.shape[0] != 1
-
-    grid = (b, nwy, nwx)
+    # wb windows per program along x. Measured on v5e (classic HAT bench):
+    # wb=2 is SLOWER (6.59 vs 6.82 out-Mpix/s) — the in-kernel sublane
+    # column slices and the serialized per-window loop cost more than the
+    # per-program overhead they save; default stays 1.
+    wb = 1
+    mask_blk = mask if masked else jnp.zeros((wb, n, n), jnp.float32)
+    grid = (b, nwy, nwx // wb)
     out = pl.pallas_call(
-        functools.partial(_msa_kernel, heads=heads, ws=ws, scale=scale),
+        functools.partial(_msa_kernel, heads=heads, ws=ws, scale=scale,
+                          wb=wb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ws, ws, c3), lambda bb, i, j: (bb, i, j, 0),
+            pl.BlockSpec((1, ws, wb * ws, c3),
+                         lambda bb, i, j: (bb, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n),
-                         (lambda bb, i, j, _x=nwx: (i * _x + j, 0, 0))
+            pl.BlockSpec((wb, n, n),
+                         (lambda bb, i, j, _x=nwx, _w=wb:
+                          (i * (_x // _w) + j, 0, 0))
                          if masked else (lambda bb, i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, ws, c),
+        out_specs=pl.BlockSpec((1, ws, wb * ws, c),
                                lambda bb, i, j: (bb, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), qkv_img.dtype),
         interpret=interpret,
-    )(qkv_img, bias, mask)
+    )(qkv_img, bias, mask_blk)
     return out
 
 
