@@ -355,7 +355,8 @@ class OCAB(nn.Module):
             _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
-        if _pallas_attention_enabled() and ocab_attention_supported(ws, ow):
+        if (_pallas_attention_enabled() and ocab_attention_supported(ws, ow)
+                and h % ws == 0 and w % ws == 0):
             # one kernel for the whole windowed middle: windowing, overlap
             # extraction, head split, attention and window_reverse all
             # happen in VMEM (ops/pallas_attention.py::fused_ocab_attention

@@ -38,7 +38,10 @@ def save_params(path: str, tree: dict, retries: int = 3) -> None:
             ckptr.save(os.path.abspath(path), tree, force=True)
             ckptr.wait_until_finished()
             return
-        except (OSError, IOError, ValueError) as exc:
+        except OSError as exc:
+            # Only transient IO errors are worth retrying; orbax raises
+            # ValueError for deterministic problems (pytree/structure
+            # mismatch), which must surface immediately.
             last_exc = exc
             get_root_logger().warning(
                 f"checkpoint save to {path} failed "

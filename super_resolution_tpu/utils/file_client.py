@@ -93,7 +93,16 @@ class MemcachedBackend:
     def _encode_key(filepath) -> bytes:
         from urllib.parse import quote
 
-        return quote(str(filepath), safe="/.-_").encode("ascii")[:250]
+        key = quote(str(filepath), safe="/.-_").encode("ascii")
+        if len(key) > 250:
+            # memcached keys are capped at 250 bytes; a plain truncation
+            # would let two long paths collide, so replace the overflow
+            # with a digest of the full path (standard client behavior).
+            import hashlib
+
+            digest = hashlib.md5(key).hexdigest().encode("ascii")
+            key = key[: 250 - len(digest) - 1] + b"#" + digest
+        return key
 
     def get(self, filepath, client_key=None):
         if self._sock is None:
@@ -101,21 +110,39 @@ class MemcachedBackend:
         key = self._encode_key(filepath)
         try:
             self._sock.sendall(b"get " + key + b"\r\n")
+            # Parse the response header first: either 'END\r\n' (miss) or
+            # 'VALUE <key> <flags> <bytes>\r\n'. Only then read the exact
+            # data length — a binary value containing b'END\r\n' must not
+            # terminate the read early.
             buf = b""
-            while b"END\r\n" not in buf:
+            while b"\r\n" not in buf:
                 chunk = self._sock.recv(65536)
                 if not chunk:
                     raise ConnectionError("memcached closed the connection")
                 buf += chunk
+            header, rest = buf.split(b"\r\n", 1)
+            if header == b"END":
+                raise KeyError(f"memcached miss for key {key!r}")
+            if not header.startswith(b"VALUE "):
+                raise ConnectionError(
+                    f"unexpected memcached response: {header!r}")
+            # VALUE <key> <flags> <bytes> [<cas>]
+            nbytes = int(header.split()[3])
+            need = nbytes + len(b"\r\nEND\r\n")
+            while len(rest) < need:
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("memcached closed the connection")
+                rest += chunk
         except OSError:
             self._sock = None
             raise
-        if buf.startswith(b"END"):
-            raise KeyError(f"memcached miss for key {key!r}")
-        header, rest = buf.split(b"\r\n", 1)
-        # VALUE <key> <flags> <bytes>
-        nbytes = int(header.split()[3])
-        return rest[:nbytes]
+        if rest[nbytes:need] != b"\r\nEND\r\n":
+            raise ConnectionError("malformed memcached data block "
+                                  f"(trailer {rest[nbytes:need]!r})")
+        data = rest[:nbytes]
+        assert len(data) == nbytes
+        return data
 
 
 class FileClient:

@@ -216,8 +216,11 @@ def test_memcached_backend_roundtrip():
 
     from super_resolution_tpu.utils.file_client import FileClient
 
+    # binary value embedding the protocol terminator — must NOT truncate
+    tricky = b"\x00head" + b"END\r\n" + b"tail" * 1000 + b"\xff"
     store = {b"datasets/img001.png": b"\x89PNG-fake-bytes",
-             b"a%20key/with.png": b"other"}
+             b"a%20key/with.png": b"other",
+             b"tricky.bin": tricky}
 
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))
@@ -254,6 +257,13 @@ def test_memcached_backend_roundtrip():
     fc = FileClient("memcached", server=f"127.0.0.1:{port}")
     assert fc.get("datasets/img001.png") == b"\x89PNG-fake-bytes"
     assert fc.get("a key/with.png") == b"other"    # space percent-encoded
+    assert fc.get("tricky.bin") == tricky          # embedded END\r\n intact
+    # >250-byte keys hash instead of truncating: two long paths differing
+    # only past byte 250 must not collide
+    from super_resolution_tpu.utils.file_client import MemcachedBackend
+    ka = MemcachedBackend._encode_key("x/" + "a" * 300 + "1.png")
+    kb = MemcachedBackend._encode_key("x/" + "a" * 300 + "2.png")
+    assert ka != kb and len(ka) <= 250 and len(kb) <= 250
     with pytest.raises(KeyError):
         fc.get("missing.png")
     srv.close()
