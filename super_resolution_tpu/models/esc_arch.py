@@ -208,23 +208,30 @@ class WindowAttentionESC(nn.Module):
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
 
-        qkv = self.to_qkv(x)                                   # (B,Hp,Wp,3C)
         hp, wp = x.shape[1], x.shape[2]
         bias = self.relative_position_bias[:, self._rpe_idx]   # (heads, N, N)
         from super_resolution_tpu.ops.attention import _pallas_attention_enabled
         pallas_on = self.use_pallas or _pallas_attention_enabled()
         if pallas_on and ws % 8 == 0 and not self.is_initializing():
-            # MSA megakernel straight on the qkv image: windowing, head
-            # split, attention and reverse all in VMEM
+            # MSA block megakernel straight on the C-channel image: qkv
+            # projection, windowing, head split, attention, reverse and the
+            # output projection all in VMEM (the to_qkv/to_out 1x1 convs
+            # are matmuls — their kernels reshape to (C, 3C)/(C, C))
             from super_resolution_tpu.ops.pallas_attention import \
-                fused_msa_attention_ad
+                fused_msa_block_ad
             n = ws * ws
             d = c // self.num_heads
-            out = fused_msa_attention_ad(
-                qkv, bias.astype(jnp.float32),
+            qkv_p = self.to_qkv.variables["params"]
+            out_p = self.to_out.variables["params"]
+            out = fused_msa_block_ad(
+                x, qkv_p["kernel"].reshape(c, 3 * c), qkv_p["bias"],
+                out_p["kernel"].reshape(c, c), out_p["bias"],
+                bias.astype(jnp.float32),
                 jnp.zeros((1, n, n), jnp.float32), self.num_heads, ws,
                 d ** -0.5)
+            return out[:, :h, :w, :]
         else:
+            qkv = self.to_qkv(x)                               # (B,Hp,Wp,3C)
             wins = window_partition(qkv, ws).reshape(-1, ws * ws, 3, c)
             wins = wins.transpose(2, 0, 1, 3)                  # (3, B*nW, N, C)
             if pallas_on:

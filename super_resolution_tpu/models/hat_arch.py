@@ -340,13 +340,6 @@ class OCAB(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         ws, ow = self.window_size, self.overlap_win_size
-        shortcut = x
-        x = self.norm1(x)
-
-        y = self.esc_core(x, self.esc_plk) if self.esc_enable else x
-        q = self.q_proj(x)                                    # (B,H,W,C)
-        kv = self.kv_proj(y)                                  # (B,H,W,2C)
-
         d = c // self.num_heads
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
@@ -355,32 +348,57 @@ class OCAB(nn.Module):
             _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
-        if (_pallas_attention_enabled() and ocab_attention_supported(ws, ow)
-                and h % ws == 0 and w % ws == 0):
-            # one kernel for the whole windowed middle: windowing, overlap
-            # extraction, head split, attention and window_reverse all
-            # happen in VMEM (ops/pallas_attention.py::fused_ocab_attention
-            # — 104 -> 29 ms per OCAB at the production tile batch)
+        fused_route = (_pallas_attention_enabled()
+                       and not self.is_initializing()
+                       and ocab_attention_supported(ws, ow)
+                       and h % ws == 0 and w % ws == 0)
+        if fused_route and not self.esc_enable:
+            # full OCAB block megakernel: LN1 + q/kv projections +
+            # windowing + attention + proj + residual in one VMEM pass
+            # (ops/pallas_attention.py::fused_ocab_block); the ESC-infused
+            # variant keeps the attention-only kernel below because its kv
+            # source is the materialized esc_core feature image
             from super_resolution_tpu.ops.pallas_attention import \
-                fused_ocab_attention_ad
-            x = fused_ocab_attention_ad(q, kv, bias, self.num_heads, ws, ow,
-                                        d ** -0.5)
+                fused_ocab_block_ad
+            n1 = self.norm1.variables["params"]
+            qp = self.q_proj.variables["params"]
+            kp = self.kv_proj.variables["params"]
+            pj = self.proj.variables["params"]
+            x = fused_ocab_block_ad(
+                x, n1["scale"], n1["bias"], qp["kernel"], qp["bias"],
+                kp["kernel"], kp["bias"], pj["kernel"], pj["bias"], bias,
+                self.num_heads, ws, ow, d ** -0.5)
         else:
-            q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
-            kv_windows = extract_overlap_windows(kv, ws, ow)  # (BW, ow^2, 2C)
-            bw = q_windows.shape[0]
-            k_windows = kv_windows[..., :c]
-            v_windows = kv_windows[..., c:]
-            qh = q_windows.reshape(bw, ws * ws, self.num_heads,
-                                   d).transpose(0, 2, 1, 3)
-            kh = k_windows.reshape(bw, ow * ow, self.num_heads,
-                                   d).transpose(0, 2, 1, 3)
-            vh = v_windows.reshape(bw, ow * ow, self.num_heads,
-                                   d).transpose(0, 2, 1, 3)
-            out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
-            out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
-            x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
-        x = self.proj(x) + shortcut
+            shortcut = x
+            x = self.norm1(x)
+            y = self.esc_core(x, self.esc_plk) if self.esc_enable else x
+            q = self.q_proj(x)                                # (B,H,W,C)
+            kv = self.kv_proj(y)                              # (B,H,W,2C)
+            if fused_route:
+                # attention-only megakernel (windowing + overlap extraction
+                # + heads + attention + reverse in VMEM —
+                # ops/pallas_attention.py::fused_ocab_attention)
+                from super_resolution_tpu.ops.pallas_attention import \
+                    fused_ocab_attention_ad
+                x = fused_ocab_attention_ad(q, kv, bias, self.num_heads,
+                                            ws, ow, d ** -0.5)
+            else:
+                q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
+                kv_windows = extract_overlap_windows(kv, ws, ow)
+                bw = q_windows.shape[0]
+                k_windows = kv_windows[..., :c]
+                v_windows = kv_windows[..., c:]
+                qh = q_windows.reshape(bw, ws * ws, self.num_heads,
+                                       d).transpose(0, 2, 1, 3)
+                kh = k_windows.reshape(bw, ow * ow, self.num_heads,
+                                       d).transpose(0, 2, 1, 3)
+                vh = v_windows.reshape(bw, ow * ow, self.num_heads,
+                                       d).transpose(0, 2, 1, 3)
+                out = attention_with_bias_auto(qh, kh, vh, bias,
+                                               scale=d ** -0.5)
+                out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
+                x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+            x = self.proj(x) + shortcut
 
         from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
                                                          mlp_block_ad)

@@ -192,21 +192,25 @@ class HABClassic(nn.Module):
             _pallas_attention_enabled
         if (_pallas_attention_enabled() and not self.is_initializing()
                 and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0):
-            # fused (S)W-MSA megakernel: partition/head-split/attention/
-            # reverse in VMEM (ops/pallas_attention.py::fused_msa_attention)
+            # fused (S)W-MSA block megakernel: qkv projection, partition,
+            # head-split, attention, reverse AND the output projection in
+            # VMEM (ops/pallas_attention.py::fused_msa_block) — the qkv
+            # (3C) and pre-proj (C) images never touch HBM
             from super_resolution_tpu.ops.pallas_attention import \
-                fused_msa_attention_ad
+                fused_msa_block_ad
             at = self.attn
             d = c // self.num_heads
             n = ws * ws
-            qkv_img = at.qkv(shifted)                      # (B, H, W, 3C)
             bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
             bias = bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
             mask_arr = (mask.astype(jnp.float32) if mask is not None
                         else jnp.zeros((1, n, n), jnp.float32))
-            out_img = fused_msa_attention_ad(qkv_img, bias, mask_arr,
-                                             self.num_heads, ws, d ** -0.5)
-            shifted = at.proj(out_img)
+            qkv_p = at.qkv.variables["params"]
+            proj_p = at.proj.variables["params"]
+            shifted = fused_msa_block_ad(
+                shifted, qkv_p["kernel"], qkv_p["bias"], proj_p["kernel"],
+                proj_p["bias"], bias, mask_arr, self.num_heads, ws,
+                d ** -0.5)
         else:
             x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
             attn_windows = self.attn(x_windows, mask=mask)
@@ -257,10 +261,6 @@ class OCABClassic(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         ws, ow = self.window_size, self.overlap_win_size
-        shortcut = x
-        x = self.norm1(x)
-        qkv = self.qkv(x)                                      # (B,H,W,3C)
-        q, kv = qkv[..., :c], qkv[..., c:]
         d = c // self.num_heads
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
@@ -272,13 +272,27 @@ class OCABClassic(nn.Module):
         if (_pallas_attention_enabled() and not self.is_initializing()
                 and ocab_attention_supported(ws, ow)
                 and h % ws == 0 and w % ws == 0):
-            # OCAB megakernel (windowing + heads + attention + reverse in
-            # VMEM — ops/pallas_attention.py::fused_ocab_attention)
+            # OCAB block megakernel: LN1, q/kv projections (kv recomputed
+            # per overlap window instead of round-tripping a 2C image),
+            # windowing, attention, output projection and the shortcut
+            # residual in one VMEM pass
+            # (ops/pallas_attention.py::fused_ocab_block)
             from super_resolution_tpu.ops.pallas_attention import \
-                fused_ocab_attention_ad
-            x = fused_ocab_attention_ad(q, kv, bias, self.num_heads, ws, ow,
-                                        d ** -0.5)
+                fused_ocab_block_ad
+            n1 = self.norm1.variables["params"]
+            qk = self.qkv.variables["params"]
+            pj = self.proj.variables["params"]
+            x = fused_ocab_block_ad(
+                x, n1["scale"], n1["bias"],
+                qk["kernel"][:, :c], qk["bias"][:c],
+                qk["kernel"][:, c:], qk["bias"][c:],
+                pj["kernel"], pj["bias"], bias,
+                self.num_heads, ws, ow, d ** -0.5)
         else:
+            shortcut = x
+            x = self.norm1(x)
+            qkv = self.qkv(x)                                  # (B,H,W,3C)
+            q, kv = qkv[..., :c], qkv[..., c:]
             q_windows = window_partition(q, ws).reshape(-1, ws * ws, c)
             kv_windows = extract_overlap_windows(kv, ws, ow)
             k_windows = kv_windows[..., :c]
@@ -293,7 +307,7 @@ class OCABClassic(nn.Module):
             out = attention_with_bias_auto(qh, kh, vh, bias, scale=d ** -0.5)
             out = out.transpose(0, 2, 1, 3).reshape(bw, ws * ws, c)
             x = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
-        x = self.proj(x) + shortcut
+            x = self.proj(x) + shortcut
         fused = _fused_mlp_tail(self, x)
         if fused is not None:
             return fused

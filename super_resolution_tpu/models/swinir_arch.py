@@ -60,21 +60,23 @@ class SwinTransformerBlock(nn.Module):
             _pallas_attention_enabled
         if (_pallas_attention_enabled() and not self.is_initializing()
                 and ws % 8 == 0 and h % ws == 0 and w % ws == 0):
-            # (S)W-MSA megakernel (shared with classic HAT —
-            # ops/pallas_attention.py::fused_msa_attention)
+            # (S)W-MSA block megakernel incl. qkv/proj matmuls (shared with
+            # classic HAT — ops/pallas_attention.py::fused_msa_block)
             from super_resolution_tpu.ops.pallas_attention import \
-                fused_msa_attention_ad
+                fused_msa_block_ad
             at = self.attn
             d = c // self.num_heads
             n = ws * ws
-            qkv_img = at.qkv(shifted)
             bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
             bias = bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
             mask_arr = (mask.astype(jnp.float32) if mask is not None
                         else jnp.zeros((1, n, n), jnp.float32))
-            out_img = fused_msa_attention_ad(qkv_img, bias, mask_arr,
-                                             self.num_heads, ws, d ** -0.5)
-            shifted = at.proj(out_img)
+            qkv_p = at.qkv.variables["params"]
+            proj_p = at.proj.variables["params"]
+            shifted = fused_msa_block_ad(
+                shifted, qkv_p["kernel"], qkv_p["bias"], proj_p["kernel"],
+                proj_p["bias"], bias, mask_arr, self.num_heads, ws,
+                d ** -0.5)
         else:
             x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
             attn_windows = self.attn(x_windows, mask=mask)

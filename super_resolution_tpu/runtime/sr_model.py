@@ -431,6 +431,90 @@ class HATModel(SRModel):
             out = self._apply_fn()(self.eval_params(), img)
         self.output = out[:, :h * self.scale, :w * self.scale, :]
 
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img):
+        """Shape-bucketed cross-image batched validation when
+        ``val: {bucketed_eval: true}`` and tile mode are set: the whole
+        set runs through a handful of compiled programs with tiles
+        batched across images (runtime/batched_eval.py — replaces the
+        reference's eager per-image pre_process, hat_model.py:16-26).
+        Results are bit-identical to the per-image tile path."""
+        val_opt = self.opt.get("val") or {}
+        tile_opt = self.opt.get("tile")
+        if not (val_opt.get("bucketed_eval") and tile_opt):
+            return super().nondist_validation(dataloader, current_iter,
+                                              tb_logger, save_img)
+
+        from super_resolution_tpu.runtime.batched_eval import \
+            bucketed_tile_eval
+
+        items = list(dataloader)
+        ws = self.window_size()
+        lqs, true_dims = [], []
+        for val_data in items:
+            lq = jnp.asarray(val_data["lq"])
+            _, h, w, _ = lq.shape
+            pad_h = (ws - h % ws) % ws
+            pad_w = (ws - w % ws) % ws
+            if pad_h or pad_w:
+                lq = jnp.pad(lq, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                             mode="reflect")
+            lqs.append(lq)
+            true_dims.append((h, w))
+
+        mesh = None
+        if tile_opt.get("multichip"):
+            from super_resolution_tpu.parallel.mesh import make_mesh
+
+            if "_tile_mesh" not in self._apply_cache:
+                self._apply_cache["_tile_mesh"] = make_mesh()
+            mesh = self._apply_cache["_tile_mesh"]
+        outs = bucketed_tile_eval(
+            self._apply_fn(), self.eval_params(), lqs, self.scale,
+            tile_opt["tile_size"], tile_opt["tile_pad"],
+            chunk=tile_opt.get("chunk", 8),
+            quant=val_opt.get("bucket_quant", 32), mesh=mesh)
+
+        dataset_name = dataloader.dataset.opt["name"]
+        with_metrics = val_opt.get("metrics") is not None
+        if with_metrics:
+            self.metric_results = {m: 0 for m in val_opt["metrics"]}
+            self._initialize_best_metric_results(dataset_name)
+        metric_data = {}
+        for val_data, out, (h, w) in zip(items, outs, true_dims):
+            img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
+            self.feed_data(val_data)
+            self.output = jnp.asarray(
+                out[:, :h * self.scale, :w * self.scale, :])
+            visuals = self.get_current_visuals()
+            sr_img = tensor2img(visuals["result"])
+            metric_data["img"] = sr_img
+            if "gt" in visuals:
+                metric_data["img2"] = tensor2img(visuals["gt"])
+            if save_img:
+                if self.opt["is_train"]:
+                    save_path = osp.join(self.opt["path"]["visualization"],
+                                         img_name,
+                                         f"{img_name}_{current_iter}.png")
+                else:
+                    suffix = val_opt.get("suffix") or self.opt["name"]
+                    save_path = osp.join(self.opt["path"]["visualization"],
+                                         dataset_name,
+                                         f"{img_name}_{suffix}.png")
+                imwrite(sr_img, save_path)
+            if with_metrics:
+                for name, opt_ in val_opt["metrics"].items():
+                    self.metric_results[name] += calculate_metric(
+                        metric_data, opt_)
+        if with_metrics and items:
+            for metric in self.metric_results:
+                self.metric_results[metric] /= len(items)
+                self._update_best_metric_result(
+                    dataset_name, metric, self.metric_results[metric],
+                    current_iter)
+            self._log_validation_metric_values(current_iter, dataset_name,
+                                               tb_logger)
+
 
 @MODEL_REGISTRY.register()
 class SwinIRModel(HATModel):

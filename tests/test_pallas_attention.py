@@ -121,6 +121,87 @@ def test_fused_msa_attention_matches_reference(rng):
         np.testing.assert_allclose(got, ref, atol=3e-5)
 
 
+def test_fused_msa_block_matches_reference(rng):
+    """qkv-proj + attention + out-proj megakernel vs the XLA chain."""
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_msa_block, msa_block_reference)
+
+    b, hw, c, heads, ws = 2, 16, 12, 3, 8
+    n = ws * ws
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    b_qkv = jnp.asarray(rng.standard_normal((3 * c,)) * 0.1, jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b_proj = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.02,
+                       jnp.float32)
+    for mask in [jnp.zeros((1, n, n), jnp.float32),
+                 jnp.asarray(rng.standard_normal(((hw // ws) ** 2, n, n)),
+                             jnp.float32)]:
+        ref = np.asarray(msa_block_reference(x, w_qkv, b_qkv, w_proj,
+                                             b_proj, bias, mask, heads, ws))
+        got = np.asarray(fused_msa_block(x, w_qkv, b_qkv, w_proj, b_proj,
+                                         bias, mask, heads=heads,
+                                         window_size=ws))
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_msa_block_grad(rng):
+    """The _ad wrapper's XLA backward differentiates the same function the
+    kernel computes."""
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_msa_block_ad, msa_block_reference)
+
+    b, hw, c, heads, ws = 1, 8, 8, 2, 4
+    n = ws * ws
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    b_qkv = jnp.zeros((3 * c,), jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b_proj = jnp.zeros((c,), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.02,
+                       jnp.float32)
+    mask = jnp.zeros((1, n, n), jnp.float32)
+    scale = (c // heads) ** -0.5
+
+    g1 = jax.grad(lambda a, w: jnp.sum(fused_msa_block_ad(
+        a, w, b_qkv, w_proj, b_proj, bias, mask, heads, ws, scale) ** 2),
+        argnums=(0, 1))(x, w_qkv)
+    g2 = jax.grad(lambda a, w: jnp.sum(msa_block_reference(
+        a, w, b_qkv, w_proj, b_proj, bias, mask, heads, ws, scale) ** 2),
+        argnums=(0, 1))(x, w_qkv)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_fused_ocab_block_matches_reference(rng):
+    """LN + q/kv proj + overlap attention + proj + residual megakernel vs
+    the XLA chain — including the border-window kv zero-mask semantics."""
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_ocab_block, ocab_block_reference)
+
+    b, hw, c, heads, ws = 2, 32, 24, 3, 16
+    ow = 24
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal((c,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+    w_q = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b_q = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w_kv = jnp.asarray(rng.standard_normal((c, 2 * c)) * 0.1, jnp.float32)
+    b_kv = jnp.asarray(rng.standard_normal((2 * c,)) * 0.1, jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b_proj = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ow * ow)) * 0.02,
+                       jnp.float32)
+    ref = np.asarray(ocab_block_reference(x, lns, lnb, w_q, b_q, w_kv, b_kv,
+                                          w_proj, b_proj, bias, heads, ws,
+                                          ow))
+    got = np.asarray(fused_ocab_block(x, lns, lnb, w_q, b_q, w_kv, b_kv,
+                                      w_proj, b_proj, bias, heads=heads,
+                                      window_size=ws, overlap_win=ow))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
 def test_classic_hab_pallas_routing_matches_xla(rng, monkeypatch):
     """HABClassic (shifted + unshifted) forced through the fused MSA route
     (interpret on CPU) matches the XLA windowed path."""
