@@ -1,20 +1,34 @@
-"""Benchmark: HAT base x4 tiled inference throughput on one chip.
+"""Benchmark: HAT x4 tiled inference throughput on one chip.
 
 Protocol (mirrors the reference's direct-metrics harness,
-HAT/ESC/scripts/test_direct_metrics.py: warmup then repeated timed runs on a
-fixed synthetic input): a 1280x720 (HD) LR image upscaled x4 through the
-full on-device tile engine with the flagship fork-HAT base config
-(embed 180, 6x6 RHAG, window 16 — options/test/HAT_SRx4.yml:49-64).
+HAT/ESC/scripts/test_direct_metrics.py: warmup then repeated timed runs on
+fixed synthetic inputs), three legs:
 
-Inference runs the bf16 mixed-precision policy (utils/precision.py; f32
-softmax/LN stats) whose PSNR cost is pinned <= 0.01 dB by
-tests/test_precision.py. Override with BENCH_DTYPE=float32 for the f32
-number. BENCH_TILE / BENCH_PAD / BENCH_CHUNK override the tile plan.
+  1. HD leg: a 1280x720 LR upscaled x4 through the on-device tile engine
+     (full-height bands — the plan measured fastest on v5e).
+  2. Urban100-shape batched leg — THE north-star regime (BASELINE.md:
+     HAT x4 Urban100 tiled): 16 LRs of 176x256 (the representative
+     Urban100 LR shape) run through the production shape-bucketed
+     cross-image batched pipeline (runtime/batched_eval.py) — whole-image
+     tiles batched 8 per compiled step. Round 2 ran this regime one image
+     at a time at batch 1 (4.4 vs 6.8 HD); batching across images is the
+     round-3 fix.
+  3. Urban100-shape per-image leg (kept for the gap narrative).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline arch is CLASSIC HAT — the official-checkpoint structure the
+BASELINE protocol's weights describe (options/test/HAT_SRx4.yml:49-70,
+strict_load_g: true); BENCH_ARCH=fork measures the fork's ESC-infused HAT.
+
+Inference runs the bf16 mixed-precision policy (utils/precision.py; PSNR
+cost pinned <= 0.01 dB by tests/test_precision.py). The JSON also embeds
+the compiled-kernel parity check (utils/kernel_parity.py: production
+bf16+Pallas vs f32 pure-XLA on this chip, both archs) and analytic
+peak-activation estimates (axon hides backend memory stats).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured against the PyTorch-CPU reference running the same
-fork-HAT on one 320x320 tile (see BASELINE_LOCAL in this file; target is
->=5x per BASELINE.md).
+fork-HAT on one 320x320 tile (BASELINE_LOCAL below; target >=5x per
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -32,6 +46,42 @@ import numpy as np
 BASELINE_LOCAL_OUT_MPIX_S = 0.0053
 
 
+def _pair(s):
+    return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
+
+
+def _median_time(fn, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _activation_estimate_mb(chunk, t_y, t_x, c_embed, scale, dtype_bytes=2):
+    """Analytic live-buffer estimate for one tile chunk (bf16): the widest
+    point is the upsampler's conv->pixel-shuffle pair at the last stage;
+    the body's deep features add ~3 concurrent C-channel maps (x, shortcut,
+    block out)."""
+    body = 3 * chunk * t_y * t_x * c_embed * dtype_bytes
+    num_feat = 64
+    peak_up = 0
+    ty, tx = t_y, t_x
+    s = scale
+    while s > 1:
+        conv_out = chunk * ty * tx * 4 * num_feat * dtype_bytes
+        ps_out = chunk * ty * 2 * tx * 2 * num_feat * dtype_bytes
+        peak_up = max(peak_up, conv_out + ps_out)
+        ty, tx, s = ty * 2, tx * 2, s // 2
+    out_img = chunk * t_y * scale * t_x * scale * 3 * dtype_bytes
+    return {
+        "body_mb": round(body / 2 ** 20),
+        "upsampler_peak_mb": round(peak_up / 2 ** 20),
+        "output_mb": round(out_img / 2 ** 20),
+    }
+
+
 def main():
     import jax
 
@@ -42,7 +92,6 @@ def main():
 
     import jax.numpy as jnp
 
-    from super_resolution_tpu.models.hat_arch import HAT
     from super_resolution_tpu.runtime.tile import tile_forward
     from super_resolution_tpu.utils.precision import (cast_floating,
                                                       resolve_dtype,
@@ -50,9 +99,6 @@ def main():
 
     scale = 4
     h, w = 720, 1280
-    def _pair(s):
-        return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
-
     # Default plan measured fastest on v5e (r2): full-height bands kill the
     # vertical halo entirely (tile_forward clamps 720+2*32 -> 720); 4 bands
     # of 720x(320+64) batch exactly into one lax.map chunk. Sweep:
@@ -63,23 +109,20 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 4))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
-    arch = os.environ.get("BENCH_ARCH", "fork")
+    # classic = the BASELINE protocol arch (official-ckpt HAT structure)
+    arch = os.environ.get("BENCH_ARCH", "classic")
+    kw = dict(img_size=64, embed_dim=180, depths=(6,) * 6,
+              num_heads=(6,) * 6, window_size=16, compress_ratio=3,
+              squeeze_factor=30, conv_scale=0.01, overlap_ratio=0.5,
+              mlp_ratio=2.0, upscale=scale, upsampler="pixelshuffle")
     if arch == "classic":
-        # official-checkpoint HAT structure (W-MSA HAB; the BASELINE north
-        # star's Urban100 protocol runs these weights)
         from super_resolution_tpu.models.hat_classic_arch import HATClassic
 
-        net = HATClassic(img_size=64, embed_dim=180, depths=(6,) * 6,
-                         num_heads=(6,) * 6, window_size=16,
-                         compress_ratio=3, squeeze_factor=30,
-                         conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
-                         drop_path_rate=0.0, upscale=scale,
-                         upsampler="pixelshuffle")
+        net = HATClassic(drop_path_rate=0.0, **kw)
     else:
-        net = HAT(img_size=64, embed_dim=180, depths=(6,) * 6,
-                  num_heads=(6,) * 6, window_size=16, compress_ratio=3,
-                  squeeze_factor=30, conv_scale=0.01, overlap_ratio=0.5,
-                  mlp_ratio=2.0, upscale=scale, upsampler="pixelshuffle")
+        from super_resolution_tpu.models.hat_arch import HAT
+
+        net = HAT(**kw)
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
     if dtype is not None:
@@ -87,6 +130,7 @@ def main():
     apply_fn = wrap_apply(
         lambda p, t: net.apply({"params": p}, t), dtype)
 
+    # ------------------------------------------------------------- HD leg
     @jax.jit
     def run(params, img):
         # checksum forces full execution; fetching 4 bytes instead of the
@@ -97,57 +141,90 @@ def main():
 
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)),
                     jnp.float32)
-
     # warmup / compile (block by fetching the scalar: block_until_ready is
     # not reliable on the axon backend)
     float(run(params, x))
+    dt = _median_time(lambda: float(run(params, x)))
+    value = h * scale * w * scale / 1e6 / dt
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(params, x))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    # ------------------------------- Urban100-shape BATCHED leg (north star)
+    # 16 LRs at the representative Urban100 LR shape (GTs ~1024x680,
+    # mod-cropped /4 -> 176x256 after window rounding) through the
+    # production bucketed cross-image pipeline: whole-image tiles, 8 per
+    # compiled step (runtime/batched_eval.py::_get_program — the exact
+    # program val.bucketed_eval runs; host gather excluded, paste included).
+    from super_resolution_tpu.runtime.batched_eval import _get_program
 
-    out_mpix = h * scale * w * scale / 1e6
-    value = out_mpix / dt
-
-    # Urban100-shaped leg: the BASELINE metric is defined on Urban100 x4
-    # tiled inference (BASELINE.md north star). The dataset isn't mounted;
-    # a representative LR shape (176x256 — Urban100 GTs are ~1024x680,
-    # mod-cropped /4) runs the same tiled path. Urban100 LRs are smaller
-    # than one 256-tile, so this is the per-image (whole-image-sized tile)
-    # regime rather than the HD multi-tile regime.
     uh, uw = 176, 256
+    g = int(os.environ.get("BENCH_URBAN_IMAGES", 16))
+    uchunk = int(os.environ.get("BENCH_URBAN_CHUNK", 8))
+    canvas_in = jnp.asarray(
+        np.random.default_rng(1).random((g, uh, uw, 3)), jnp.float32)
+    zeros = jnp.zeros((g,), jnp.int32)
+    img_idx = jnp.arange(g, dtype=jnp.int32)
+    brun = _get_program(apply_fn, scale, uh, uw, uh, uw, uchunk, None)
+
+    def batched_step():
+        canvas = brun(params, canvas_in, zeros, zeros, zeros, zeros,
+                      zeros, zeros, img_idx)
+        return float(jnp.mean(canvas))
+
+    batched_step()  # compile (incl. the tiny eager mean reduction)
+    bdt = _median_time(batched_step)
+    bvalue = g * uh * scale * uw * scale / 1e6 / bdt
+
+    # --------------------------------------- Urban100-shape per-image leg
     xu = jnp.asarray(np.random.default_rng(1).random((1, uh, uw, 3)),
                      jnp.float32)
     float(run(params, xu))  # compile
-    utimes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(params, xu))
-        utimes.append(time.perf_counter() - t0)
-    uvalue = uh * scale * uw * scale / 1e6 / float(np.median(utimes))
+    udt = _median_time(lambda: float(run(params, xu)))
+    uvalue = uh * scale * uw * scale / 1e6 / udt
 
-    # peak device memory (the reference's protocol also reports peak
-    # alloc — test_direct_metrics.py:99-101); absent on some backends
+    # ------------------------------------------------- compiled-kernel parity
+    # production bf16+Pallas vs f32 pure-XLA on this backend, both archs
+    # (the CPU suite only exercises interpret mode — verdict r2 item 6)
+    from super_resolution_tpu.utils.kernel_parity import kernel_parity
+
+    parity = {}
+    if os.environ.get("BENCH_SKIP_PARITY") != "1":
+        for parch in ("classic", "fork"):
+            p = kernel_parity(parch, hw=128, scale=scale)
+            parity[f"kernel_parity_{parch}_db"] = p["psnr_prod_vs_f32xla_db"]
+            parity[f"kernel_parity_{parch}_vs_bf16xla_db"] = \
+                p["psnr_prod_vs_bf16xla_db"]
+
+    # peak device memory (reference protocol reports peak alloc —
+    # test_direct_metrics.py:99-101); axon hides it -> analytic estimate
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         peak_mb = round(stats.get("peak_bytes_in_use", 0) / 2 ** 20) or None
     except Exception:
-        peak_mb = None  # not exposed by this backend (e.g. axon tunnel)
+        peak_mb = None
+    t_y = min((tile_size if isinstance(tile_size, int) else tile_size[0])
+              + 2 * (tile_pad if isinstance(tile_pad, int) else tile_pad[0]), h)
+    t_x = min((tile_size if isinstance(tile_size, int) else tile_size[1])
+              + 2 * (tile_pad if isinstance(tile_pad, int) else tile_pad[1]), w)
+    est = _activation_estimate_mb(chunk, t_y, t_x, 180, scale,
+                                  2 if dtype is not None else 4)
+    est["params_mb"] = round(sum(
+        np.asarray(a).nbytes for a in jax.tree.leaves(params)) / 2 ** 20)
 
     print(json.dumps({
-        "metric": f"HAT-base{'-classic' if arch == 'classic' else ''} x4 "
-                  "tiled inference throughput (HD input, "
-                  f"tile {tile_size}/pad {tile_pad}, "
+        "metric": f"HAT-base-{arch} x4 tiled inference throughput "
+                  f"(HD input, tile {tile_size}/pad {tile_pad}, "
                   f"{'bf16' if dtype is not None else 'f32'}, 1 chip)",
-        "peak_device_mem_mb": peak_mb,
         "value": round(value, 3),
         "unit": "out_Mpix/s",
         "vs_baseline": round(value / BASELINE_LOCAL_OUT_MPIX_S, 2),
+        "urban100_batched_value": round(bvalue, 3),
+        "urban100_batched_unit": f"out_Mpix/s ({g}x 176x256 LR, "
+                                 f"bucketed batch {uchunk} — the north-star "
+                                 "regime, production eval path)",
         "urban100_shape_value": round(uvalue, 3),
         "urban100_shape_unit": "out_Mpix/s (176x256 LR, per-image regime)",
+        "peak_device_mem_mb": peak_mb,
+        "est_activation_mb": est,
+        **parity,
     }))
 
 

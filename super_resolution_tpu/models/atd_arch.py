@@ -252,10 +252,32 @@ class ATDTransformerLayer(nn.Module):
             mask = shift_attn_mask_jnp(h, w, ws, ss)
         else:
             shifted_qkv, mask = qkv, None
-        qkv_windows = window_partition(shifted_qkv, ws).reshape(-1, ws * ws,
-                                                                3 * c)
-        attn_windows = self.attn_win(qkv_windows, mask=mask)
-        shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c), ws, h, w)
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        if (_pallas_attention_enabled() and not self.is_initializing()
+                and ws % 8 == 0 and h % ws == 0 and w % ws == 0):
+            # (S)W-MSA megakernel on the shared qkv image (the qkv stays
+            # materialized because AC-MSA consumes it too; windowing,
+            # head split, attention and reverse still fold into VMEM —
+            # ops/pallas_attention.py::fused_msa_attention)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_msa_attention_ad
+            at = self.attn_win
+            nn_ = ws * ws
+            d = c // self.num_heads
+            bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
+            bias = bias.reshape(nn_, nn_, self.num_heads).transpose(2, 0, 1)
+            mask_arr = (mask.astype(jnp.float32) if mask is not None
+                        else jnp.zeros((1, nn_, nn_), jnp.float32))
+            out_img = fused_msa_attention_ad(shifted_qkv, bias, mask_arr,
+                                             self.num_heads, ws, d ** -0.5)
+            shifted = at.proj(out_img)
+        else:
+            qkv_windows = window_partition(shifted_qkv, ws).reshape(
+                -1, ws * ws, 3 * c)
+            attn_windows = self.attn_win(qkv_windows, mask=mask)
+            shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c),
+                                     ws, h, w)
         x_win = jnp.roll(shifted, (ss, ss), axis=(1, 2)) if ss > 0 else shifted
 
         x = shortcut + x_win + (x_atd + x_aca).reshape(b, h, w, c)

@@ -565,10 +565,14 @@ def _ocab_block_kernel(x_ref, xov_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     # (extract_overlap_windows semantics); computing kv from a zero-padded
     # raw image would instead leave LN/projection biases there, so mask
     # out-of-image rows explicitly.
-    yy = jax.lax.broadcasted_iota(jnp.int32, (ow, ow), 0) + i * ws - pad
-    xx = jax.lax.broadcasted_iota(jnp.int32, (ow, ow), 1) + j * ws - pad
+    # validity mask built directly in (Nk, 1) layout — a (ow, ow) ->
+    # (Nk, 1) reshape would collapse lanes into sublanes, which Mosaic
+    # rejects ("unsupported shape cast")
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nk, 1), 0)
+    yy = idx // ow + i * ws - pad
+    xx = idx % ow + j * ws - pad
     valid = ((yy >= 0) & (yy < h_img) & (xx >= 0) & (xx < w_img))
-    kv = jnp.where(valid.reshape(nk, 1), kv, 0.0).astype(x_raw.dtype)
+    kv = jnp.where(valid, kv, 0.0).astype(x_raw.dtype)
 
     outs = []
     for h in range(heads):

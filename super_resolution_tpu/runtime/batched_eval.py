@@ -86,7 +86,7 @@ def _get_program(apply_fn, scale, t_y, t_x, cs_y, cs_x, chunk, mesh):
     key = (id(apply_fn), scale, t_y, t_x, cs_y, cs_x, chunk,
            id(mesh) if mesh is not None else None)
     if key in _PROGRAM_CACHE:
-        return _PROGRAM_CACHE[key]
+        return _PROGRAM_CACHE[key][0]
 
     if mesh is not None:
         from jax.sharding import NamedSharding
@@ -125,7 +125,8 @@ def _get_program(apply_fn, scale, t_y, t_x, cs_y, cs_x, chunk, mesh):
 
         return jax.lax.fori_loop(0, out.shape[0], paste, canvas)
 
-    _PROGRAM_CACHE[key] = run
+    # keep apply_fn alive so its id() cannot be recycled onto this key
+    _PROGRAM_CACHE[key] = (run, apply_fn)
     return run
 
 

@@ -366,6 +366,49 @@ def get_hat_arch():
     return hat_arch
 
 
+def get_hat_model():
+    """Import the reference's model layer (hat.models.hat_model.HATModel)
+    with the registry factories wired onto the namespace-shimmed packages
+    — enables running the reference's validation pipeline
+    (basicsr/test.py::test_pipeline + HATModel.nondist_validation
+    semantics) as a system-level oracle."""
+    install_stubs()
+    from copy import deepcopy
+
+    get_hat_arch()  # registers HAT in ARCH_REGISTRY
+    from basicsr.utils.registry import (ARCH_REGISTRY, LOSS_REGISTRY,
+                                        METRIC_REGISTRY)
+
+    archs_mod = sys.modules["basicsr.archs"]
+    if not hasattr(archs_mod, "build_network"):
+        def build_network(opt):
+            opt = deepcopy(opt)
+            return ARCH_REGISTRY.get(opt.pop("type"))(**opt)
+
+        archs_mod.build_network = build_network
+
+    losses_mod = sys.modules["basicsr.losses"]
+    if not hasattr(losses_mod, "build_loss"):
+        def build_loss(opt):
+            opt = deepcopy(opt)
+            return LOSS_REGISTRY.get(opt.pop("type"))(**opt)
+
+        losses_mod.build_loss = build_loss
+
+    metrics_mod = sys.modules["basicsr.metrics"]
+    if not hasattr(metrics_mod, "calculate_metric"):
+        import basicsr.metrics.psnr_ssim  # noqa: F401  (registers)
+
+        def calculate_metric(data, opt):
+            opt = deepcopy(opt)
+            return METRIC_REGISTRY.get(opt.pop("type"))(**data, **opt)
+
+        metrics_mod.calculate_metric = calculate_metric
+
+    from hat.models import hat_model
+    return hat_model
+
+
 def get_esc_arch():
     install_stubs()
     from hat.archs import esc_arch

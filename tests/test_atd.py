@@ -72,3 +72,23 @@ def test_atd_multigroup_runs(rng):
     y = fm.apply(variables, x)
     assert y.shape == (1, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_atd_pallas_routing_matches_xla(rng, monkeypatch):
+    """ATD forced through the fused MSA megakernel (interpret on CPU)
+    matches the XLA windowed path — covers both shifted and unshifted
+    layers (depth 2)."""
+    from super_resolution_tpu.models.atd_arch import ATD
+
+    kw = dict(img_size=16, embed_dim=24, depths=[2], num_heads=[2],
+              window_size=8, category_size=64, num_tokens=16,
+              reducted_dim=6, convffn_kernel_size=5, mlp_ratio=1.0,
+              upscale=2, upsampler="pixelshuffledirect")
+    fm = ATD(**kw)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("SR_TPU_ATTN", "xla")
+    ref = np.asarray(fm.apply(variables, x))
+    monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+    got = np.asarray(fm.apply(variables, x))
+    np.testing.assert_allclose(got, ref, atol=3e-5)

@@ -155,3 +155,47 @@ def test_batched_eval_single_image_and_tiny(rng):
     ref = tile_forward(lambda t: apply_fn(params, t), imgs[0], 2,
                        tile_size=16, tile_pad=4)
     np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(ref))
+
+
+def test_gen_meta_info_roundtrip(tmp_path):
+    """scripts/gen_meta_info.py emits the reference's formats and the
+    image listing round-trips through paired_paths_from_meta_info."""
+    import subprocess
+    import sys as _sys
+
+    import cv2
+
+    from super_resolution_tpu.data.paired_dataset import \
+        paired_paths_from_meta_info
+
+    gt = tmp_path / "GT"
+    gt.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(gt / f"im{i}.png"),
+                    (rng.random((8 + i, 10, 3)) * 255).astype(np.uint8))
+    meta = tmp_path / "meta_info_GT.txt"
+    r = subprocess.run([_sys.executable, "scripts/gen_meta_info.py",
+                        "--input", str(gt), "--output", str(meta)],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = meta.read_text().splitlines()
+    assert lines[0] == "im0.png (8,10,3)"          # reference line format
+    paths = paired_paths_from_meta_info(str(tmp_path), str(gt), str(meta),
+                                        filename_tmpl="{}x2")
+    assert len(paths) == 3
+    assert paths[1]["lq_path"].endswith("im1x2.png")
+
+    # video format: clip folders
+    vid = tmp_path / "vid" / "000"
+    vid.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(vid / f"{i:08d}.png"),
+                    (rng.random((6, 8, 3)) * 255).astype(np.uint8))
+    vmeta = tmp_path / "meta_info_vid.txt"
+    r = subprocess.run([_sys.executable, "scripts/gen_meta_info.py",
+                        "--input", str(tmp_path / "vid"), "--output",
+                        str(vmeta), "--video"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert vmeta.read_text().splitlines() == ["000 4 (6,8,3)"]
