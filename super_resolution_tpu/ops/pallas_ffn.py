@@ -299,19 +299,24 @@ def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
 def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
-              tile_rows: int = 8, interpret: bool | None = None):
+              tile_rows: int = 0, interpret: bool | None = None):
     """Fused  x + fc2(gelu(fc1(LN(x))))  — the OCAB / classic-HAT MLP
     residual tail (ref: hat_arch.py:391-392) in one VMEM pass. Pointwise
     only: no halos, no scratch; each program LNs a row tile, runs both
     matmuls on the MXU and writes the residual-added result once.
 
     x: (B, H, W, C); w1 (C, HID); w2 (HID, C).
+    tile_rows: rows per program; 0 = auto (scaled down with width so the
+    f32 intermediates stay inside the ~16 MB scoped-VMEM cap — a fixed
+    th=8 OOMs the Mosaic stack beyond ~W=640 at C=180).
     """
     b, h, w, c = x.shape
     hid = w1.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    th = tile_rows
+    # measured best th=8 at W<=384 (scripts/compare_ffn.py); keep the
+    # per-program row-pixel count at that level as width grows
+    th = tile_rows or max(1, min(8, (8 * 384) // w))
     pad_r = (-h) % th
     if pad_r:
         x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
