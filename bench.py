@@ -99,14 +99,17 @@ def main():
 
     scale = 4
     h, w = 720, 1280
-    # Default plan measured fastest on v5e (r2): full-height bands kill the
-    # vertical halo entirely (tile_forward clamps 720+2*32 -> 720); 4 bands
-    # of 720x(320+64) batch exactly into one lax.map chunk. Sweep:
-    # 256-sq/8 4.95 | 720x192/7 5.36 | 720x256/5 5.55 | 720x320/4 6.05 |
-    # 720x640/2 OOM | whole-image/1 2.23.
-    tile_size = _pair(os.environ.get("BENCH_TILE", "720x320"))
+    # Default plan measured fastest on v5e. Full-height bands kill the
+    # vertical halo (tile_forward clamps 720+2*32 -> 720); 8 bands of
+    # 720x(160+64) batch into one lax.map chunk — batch depth beats halo
+    # fraction with the r3 fused-block kernels. Classic-arch sweep (r3):
+    # 720x160/8 7.76 | 720x320/4 7.50 | 720x640/2 6.88 | 720x224/6 6.83 |
+    # 720x192/7 6.45 | whole-image/1 5.52 | 352x320/8 3.92.
+    # (r2, attention-only kernels: 720x320/4 6.05 was best; 720x640/2 OOM'd
+    # before mlp_block got width-adaptive row tiles.)
+    tile_size = _pair(os.environ.get("BENCH_TILE", "720x160"))
     tile_pad = _pair(os.environ.get("BENCH_PAD", "32"))
-    chunk = int(os.environ.get("BENCH_CHUNK", 4))
+    chunk = int(os.environ.get("BENCH_CHUNK", 8))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     # classic = the BASELINE protocol arch (official-ckpt HAT structure)

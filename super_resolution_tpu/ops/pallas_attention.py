@@ -729,46 +729,57 @@ fused_ocab_block_ad.defvjp(_ocab_block_ad_fwd, _ocab_block_ad_bwd)
 
 def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                       bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
-                      scale: float):
+                      scale: float, wb: int):
     c = x_ref.shape[-1]
     d = c // heads
     n = ws * ws
-    x = x_ref[0].reshape(n, c)
+    # wb adjacent windows per program: the qkv/proj matmuls run once over
+    # all wb windows (M = wb*N rows feeds the MXU better than N=256), the
+    # attention middle loops per window
+    x = x_ref[0].reshape(wb * n, c)
     # qkv projection on the MXU, f32 accumulate, bf16 operands
     qkv = jax.lax.dot_general(
         x, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)  # (N, 3C)
-    m = mask_ref[0].astype(jnp.float32)
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * d:(h + 1) * d]
-        k = qkv[:, c + h * d:c + (h + 1) * d]
-        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s * scale + bias_ref[h].astype(jnp.float32) + m
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - mx)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(x.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)             # (N, C)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv_img = qkv.reshape(ws, wb * ws, 3 * c)
+    o_cols = []
+    for w_i in range(wb):
+        xw = qkv_img[:, w_i * ws:(w_i + 1) * ws].reshape(n, 3 * c)
+        m = mask_ref[w_i].astype(jnp.float32)
+        outs = []
+        for h in range(heads):
+            q = xw[:, h * d:(h + 1) * d]
+            k = xw[:, c + h * d:c + (h + 1) * d]
+            v = xw[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h].astype(jnp.float32) + m
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(x.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_cols.append(jnp.concatenate(outs, axis=-1)
+                      .astype(x.dtype).reshape(ws, ws, c))
+    o = (o_cols[0] if wb == 1
+         else jnp.concatenate(o_cols, axis=1)).reshape(wb * n, c)
     o = jax.lax.dot_general(
         o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o = o + bproj_ref[0].astype(jnp.float32)
-    o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
+    o_ref[0] = o.reshape(ws, wb * ws, c).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
-                                             "scale", "interpret"))
+                                             "scale", "window_block",
+                                             "interpret"))
 def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
                     heads: int, window_size: int,
-                    scale: float | None = None,
+                    scale: float | None = None, window_block: int = 0,
                     interpret: bool | None = None):
     """(S)W-MSA middle INCLUDING the qkv and output projections.
 
@@ -801,15 +812,26 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
     nwy, nwx = h_img // ws, w_img // ws
     n = ws * ws
     masked = mask.shape[0] != 1
+    # wb adjacent windows per program (amortizes the qkv/proj matmuls);
+    # 0 = default from SR_MSA_WB (1 unless overridden — experiments only)
+    wb = window_block
+    if wb == 0:
+        import os
+
+        wb = int(os.environ.get("SR_MSA_WB", "1"))
+    while wb > 1 and nwx % wb:
+        wb -= 1
     b_qkv2 = b_qkv.reshape(1, 3 * c)
     b_proj2 = b_proj.reshape(1, c)
-    grid = (b, nwy, nwx)
+    mask_blk = mask if masked else jnp.zeros((wb, n, n), jnp.float32)
+    grid = (b, nwy, nwx // wb)
     out = pl.pallas_call(
         functools.partial(_msa_block_kernel, heads=heads, ws=ws,
-                          scale=scale),
+                          scale=scale, wb=wb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
+            pl.BlockSpec((1, ws, wb * ws, c),
+                         lambda bb, i, j: (bb, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -821,17 +843,18 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n),
-                         (lambda bb, i, j, _x=nwx: (i * _x + j, 0, 0))
+            pl.BlockSpec((wb, n, n),
+                         (lambda bb, i, j, _x=nwx, _w=wb:
+                          (i * (_x // _w) + j, 0, 0))
                          if masked else (lambda bb, i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, ws, c),
+        out_specs=pl.BlockSpec((1, ws, wb * ws, c),
                                lambda bb, i, j: (bb, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x_img.dtype),
         interpret=interpret,
-    )(x_img, w_qkv, b_qkv2, w_proj, b_proj2, bias, mask)
+    )(x_img, w_qkv, b_qkv2, w_proj, b_proj2, bias, mask_blk)
     return out
 
 

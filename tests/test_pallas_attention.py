@@ -140,10 +140,13 @@ def test_fused_msa_block_matches_reference(rng):
                              jnp.float32)]:
         ref = np.asarray(msa_block_reference(x, w_qkv, b_qkv, w_proj,
                                              b_proj, bias, mask, heads, ws))
-        got = np.asarray(fused_msa_block(x, w_qkv, b_qkv, w_proj, b_proj,
-                                         bias, mask, heads=heads,
-                                         window_size=ws))
-        np.testing.assert_allclose(got, ref, atol=3e-5)
+        for wb in (1, 2):   # window_block=2 amortizes the matmuls
+            got = np.asarray(fused_msa_block(x, w_qkv, b_qkv, w_proj,
+                                             b_proj, bias, mask,
+                                             heads=heads, window_size=ws,
+                                             window_block=wb))
+            np.testing.assert_allclose(got, ref, atol=3e-5,
+                                       err_msg=f"wb={wb}")
 
 
 def test_fused_msa_block_grad(rng):
