@@ -175,9 +175,48 @@ class PSABlock(nn.Module):
             mask = jnp.asarray(psa_shift_mask(hh, ww, ws, ss))
         else:
             shifted, mask = x, None
-        x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
-        attn_windows = self.attn(x_windows, mask=mask)
-        shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c), ws, hh, ww)
+
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        if (_pallas_attention_enabled() and not self.is_initializing()
+                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0):
+            # fused PSA block megakernel: q projection, partition,
+            # rectangular attention vs the 4x-compressed KV, and the output
+            # projection in VMEM (ops/pallas_attention.py::fused_psa_block).
+            # The KV projection + 2x2 permuted fold stay in XLA (see the
+            # kernel docstring) — compressed windows are 4x smaller than x.
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_psa_block_ad
+            at = self.attn
+            h_ = self.num_heads
+            d = c // h_
+            n, pws = ws * ws, ws // 2
+            nk, c4 = pws * pws, c // 4
+            kv_p = at.kv.variables["params"]
+            q_p = at.q.variables["params"]
+            proj_p = at.proj.variables["params"]
+            kv_img = (shifted @ kv_p["kernel"].astype(shifted.dtype)
+                      + kv_p["bias"].astype(shifted.dtype))
+            # whole-image permuted fold == the per-window fold (ws even,
+            # windows align to even rows/cols): each 2x2 neighborhood's
+            # (kv, c/4) channel slices become one compressed token
+            kvc = kv_img.reshape(b, hh // 2, 2, ww // 2, 2, 2, c4)
+            kvc = kvc.transpose(0, 1, 3, 5, 2, 4, 6)
+            kvc = kvc.reshape(b, hh // 2, ww // 2, 2, c)
+            kvc = jnp.concatenate([kvc[..., 0, :], kvc[..., 1, :]], axis=-1)
+            kvw = window_partition(kvc, pws).reshape(-1, nk, 2 * c)
+            bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
+            bias = bias.reshape(n, nk, h_).transpose(2, 0, 1)
+            mask_arr = (mask.astype(jnp.float32) if mask is not None
+                        else jnp.zeros((1, n, nk), jnp.float32))
+            shifted = fused_psa_block_ad(
+                shifted, q_p["kernel"], q_p["bias"], proj_p["kernel"],
+                proj_p["bias"], kvw, bias, mask_arr, h_, ws, d ** -0.5)
+        else:
+            x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
+            attn_windows = self.attn(x_windows, mask=mask)
+            shifted = window_reverse(attn_windows.reshape(-1, ws, ws, c),
+                                     ws, hh, ww)
         x = jnp.roll(shifted, (ss, ss), axis=(1, 2)) if ss > 0 else shifted
 
         if not deterministic and self.drop_path_rate > 0:

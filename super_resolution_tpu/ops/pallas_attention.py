@@ -895,6 +895,188 @@ def _msa_block_ad_bwd(heads, window_size, scale, res, g):
 fused_msa_block_ad.defvjp(_msa_block_ad_fwd, _msa_block_ad_bwd)
 
 
+def _psa_block_kernel(x_ref, wq_ref, bq_ref, wproj_ref, bproj_ref, kv_ref,
+                      bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
+                      scale: float):
+    c = x_ref.shape[-1]
+    d = c // heads
+    n = ws * ws
+    x = x_ref[0].reshape(n, c)
+    # q projection on the MXU (bf16 operands, f32 accumulate)
+    q = jax.lax.dot_general(
+        x, wq_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q = (q + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
+    kv = kv_ref[0]                                # (nk, 2c) permuted K|V
+    m = mask_ref[0].astype(jnp.float32)           # (n, nk)
+    outs = []
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = kv[:, h * d:(h + 1) * d]
+        vh = kv[:, c + h * d:c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (n, nk)
+        s = s * scale + bias_ref[h].astype(jnp.float32) + m
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(x.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)
+    o = jax.lax.dot_general(
+        o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = o + bproj_ref[0].astype(jnp.float32)
+    o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "scale", "interpret"))
+def fused_psa_block(x_img, w_q, b_q, w_proj, b_proj, kv_windows, bias,
+                    mask, *, heads: int, window_size: int,
+                    scale: float | None = None,
+                    interpret: bool | None = None):
+    """SRFormer permuted-self-attention middle INCLUDING the q and output
+    projections (ref: SRFormer/.../srformer_arch.py:119-222 PSA).
+
+    PSA attends ws^2 queries against a 4x-compressed KV set (each 2x2
+    spatial neighborhood's c/4-channel slices fold into one token). The
+    KV projection + permutation stay in XLA (the fold is a lane->sublane
+    layout change Mosaic can't express; the compressed (nk, 2C) windows
+    are 4x smaller than x so their HBM cost is minor). The kernel reads
+    the normed/shifted C-channel image once per window, computes
+    q = x @ W_q in VMEM, runs rectangular attention with the aligned RPB
+    (+ optional shift mask), applies the output projection, and writes
+    only the C-channel result — the q image and pre-proj attention output
+    never touch HBM.
+
+    Args:
+      x_img: (B, H, W, C) normed (pre-shifted) image, H/W multiples of ws.
+      w_q: (C, C); b_q: (C,). w_proj: (C, C); b_proj: (C,).
+      kv_windows: (B*nW, nk, 2C) permuted compressed KV per window,
+        nk = (ws/2)^2, channels = [K(C) | V(C)], K/V feature order = the
+        flattened (2, 2, C/4) neighborhood fold (torch kv.reshape order).
+      bias: (heads, N, nk) f32 aligned RPB, N = ws^2.
+      mask: (nW, N, nk) f32 rectangular shift mask or (1, N, nk) zeros.
+    Returns:
+      (B, H, W, C) = window_reverse(proj(attn(q(windows), kv))).
+    """
+    b, h_img, w_img, c = x_img.shape
+    ws = window_size
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nwy, nwx = h_img // ws, w_img // ws
+    n = ws * ws
+    nk = (ws // 2) ** 2
+    masked = mask.shape[0] != 1
+    b_q2 = b_q.reshape(1, c)
+    b_proj2 = b_proj.reshape(1, c)
+    grid = (b, nwy, nwx)
+    out = pl.pallas_call(
+        functools.partial(_psa_block_kernel, heads=heads, ws=ws,
+                          scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 2 * c),
+                         (lambda bb, i, j, _ny=nwy, _nx=nwx:
+                          (bb * _ny * _nx + i * _nx + j, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, nk), lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, nk),
+                         (lambda bb, i, j, _nx=nwx: (i * _nx + j, 0, 0))
+                         if masked else (lambda bb, i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, ws, c),
+                               lambda bb, i, j: (bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x_img.dtype),
+        interpret=interpret,
+    )(x_img, w_q, b_q2, w_proj, b_proj2, kv_windows, bias, mask)
+    return out
+
+
+def psa_block_reference(x_img, w_q, b_q, w_proj, b_proj, kv_windows, bias,
+                        mask, heads: int, window_size: int,
+                        scale: float | None = None):
+    """XLA oracle/backward for fused_psa_block."""
+    from super_resolution_tpu.ops.attention import attention_with_bias
+    from super_resolution_tpu.ops.windowing import (window_partition,
+                                                    window_reverse)
+
+    b, h_img, w_img, c = x_img.shape
+    ws = window_size
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    n = ws * ws
+    nk = kv_windows.shape[1]
+    q_img = x_img @ w_q.astype(x_img.dtype) + b_q.astype(x_img.dtype)
+    qw = window_partition(q_img, ws).reshape(-1, n, c)
+    bw = qw.shape[0]
+    qh = qw.reshape(bw, n, heads, d).transpose(0, 2, 1, 3)
+    kh = kv_windows[..., :c].reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
+    vh = kv_windows[..., c:].reshape(bw, nk, heads, d).transpose(0, 2, 1, 3)
+    full_bias = bias[None]
+    if mask.shape[0] != 1:
+        nw = mask.shape[0]
+        full_bias = bias[None, None] + mask[None, :, None]
+        qh = qh.reshape(bw // nw, nw, heads, n, d)
+        kh = kh.reshape(bw // nw, nw, heads, nk, d)
+        vh = vh.reshape(bw // nw, nw, heads, nk, d)
+        out = attention_with_bias(qh, kh, vh, full_bias, scale=scale)
+        out = out.reshape(bw, heads, n, d)
+    else:
+        out = attention_with_bias(qh, kh, vh, full_bias + mask[:1, None],
+                                  scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    out = out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
+    return window_reverse(out.reshape(-1, ws, ws, c), ws, h_img, w_img)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_psa_block_ad(x_img, w_q, b_q, w_proj, b_proj, kv_windows, bias,
+                       mask, heads, window_size, scale):
+    """Fused PSA block forward, XLA backward."""
+    return fused_psa_block(x_img, w_q, b_q, w_proj, b_proj, kv_windows,
+                           bias, mask, heads=heads, window_size=window_size,
+                           scale=scale)
+
+
+def _psa_block_ad_fwd(x_img, w_q, b_q, w_proj, b_proj, kv_windows, bias,
+                      mask, heads, window_size, scale):
+    out = fused_psa_block(x_img, w_q, b_q, w_proj, b_proj, kv_windows,
+                          bias, mask, heads=heads, window_size=window_size,
+                          scale=scale)
+    return out, (x_img, w_q, b_q, w_proj, b_proj, kv_windows, bias, mask)
+
+
+def _psa_block_ad_bwd(heads, window_size, scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: psa_block_reference(*a, heads, window_size, scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+fused_psa_block_ad.defvjp(_psa_block_ad_fwd, _psa_block_ad_bwd)
+
+
 def window_attention_fused(qkv_windows, num_heads: int, bias,
                            scale: float | None = None):
     """Drop-in for ops.attention.window_msa: qkv (3, BW, N, C) ->
