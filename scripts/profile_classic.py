@@ -64,7 +64,12 @@ def main():
     x = jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
 
     def timed(name, mod, inp):
-        variables = mod.init(jax.random.PRNGKey(0), inp)
+        # init on a tiny window-multiple input: params are shape-independent
+        # and init traces the non-fused (f32) path, which OOMs at the full
+        # profiling batch
+        small = jnp.zeros((1, 2 * args.ws, 2 * args.ws, inp.shape[-1]),
+                          jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), small)
         params = variables["params"]
         if dt is not None:
             params = cast_floating(params, dt)
