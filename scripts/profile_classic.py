@@ -77,9 +77,14 @@ def main():
 
         @jax.jit
         def run(p_, t):
-            def body(_, acc):
-                return acc + jnp.mean(fn(p_, t))
-            return jax.lax.fori_loop(0, args.loops, body, jnp.float32(0))
+            # carry the tensor through the loop: each iteration consumes the
+            # previous output, so XLA cannot hoist the (otherwise
+            # loop-invariant) body out of the fori_loop — without this the
+            # body runs once and every per-loop ms reads ~1/loops of truth
+            def body(_, t_):
+                return fn(p_, t_)
+            out = jax.lax.fori_loop(0, args.loops, body, t)
+            return jnp.mean(out)
 
         float(run(params, inp))         # compile
         times = []
@@ -133,11 +138,11 @@ def main():
 
         @jax.jit
         def run_msa(t, w1, b1, w2, b2):
-            def body(_, acc):
-                o = fused_msa_block(t, w1, b1, w2, b2, bias, mask,
-                                    heads=args.heads, window_size=args.ws)
-                return acc + jnp.mean(o).astype(jnp.float32)
-            return jax.lax.fori_loop(0, args.loops, body, jnp.float32(0))
+            def body(_, t_):
+                return fused_msa_block(t_, w1, b1, w2, b2, bias, mask,
+                                       heads=args.heads, window_size=args.ws)
+            out = jax.lax.fori_loop(0, args.loops, body, t)
+            return jnp.mean(out).astype(jnp.float32)
 
         float(run_msa(xx, *ww))
         times = []
@@ -164,9 +169,10 @@ def main():
 
         @jax.jit
         def run_mlp(t, *aa):
-            def body(_, acc):
-                return acc + jnp.mean(mlp_block(t, *aa)).astype(jnp.float32)
-            return jax.lax.fori_loop(0, args.loops, body, jnp.float32(0))
+            def body(_, t_):
+                return mlp_block(t_, *aa)
+            out = jax.lax.fori_loop(0, args.loops, body, t)
+            return jnp.mean(out).astype(jnp.float32)
 
         float(run_mlp(xx, *args_mlp))
         times = []

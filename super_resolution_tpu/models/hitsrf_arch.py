@@ -133,6 +133,25 @@ class SCC(nn.Module):
         wh, ww = self.window_size
         bh, bw = self._base
         qv = self.qv(x)
+
+        from super_resolution_tpu.ops.attention import \
+            _pallas_attention_enabled
+        if (_pallas_attention_enabled() and not self.is_initializing()
+                and xh % wh == 0 and xw % ww == 0
+                and (xc // 2) % self.num_heads == 0):
+            # SCC block megakernel: windowing, base-grid value projection,
+            # spatial + channel correlations and the output projection in
+            # one VMEM pass (ops/pallas_attention.py::fused_scc_block)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_scc_block_ad
+            sl = self.spatial_linear.variables["params"]
+            pj = self.proj.variables["params"]
+            return fused_scc_block_ad(
+                qv, sl["kernel"][:, 0], sl["bias"][0],
+                pj["kernel"], pj["bias"],
+                self._spatial_bias().astype(jnp.float32),
+                self.num_heads, (wh, ww), (bh, bw))
+
         qv = _win_partition(qv, wh, ww).reshape(-1, wh * ww, xc)
 
         bwn, L, c = qv.shape

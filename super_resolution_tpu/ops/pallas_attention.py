@@ -1086,3 +1086,206 @@ def window_attention_fused(qkv_windows, num_heads: int, bias,
     qkv = qkv_windows.reshape(3, bw, n, num_heads, d).transpose(0, 1, 3, 2, 4)
     out = fused_attention(qkv[0], qkv[1], qkv[2], bias, scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+
+
+# --------------------------------------------------------------------------
+# HiT-SRF spatial-channel correlation (SCC) block megakernel
+# --------------------------------------------------------------------------
+
+def _scc_base_projection(wh, ww, bh, bw, sl_w, sl_b):
+    """Base-grid projection as a dense matrix P (baseL, L): each base
+    cell's (wh/bh x ww/bw) sub-grid collapses through the shared
+    spatial_linear weights, so vs = P @ v + b replaces the reference's
+    7-D reshape/transpose chain (ref: hitsrf_arch.py:232-247
+    spatial_linear) with one MXU matmul.
+
+    sl_w: (ratio,) spatial_linear kernel; sl_b: scalar bias.
+    Returns (P, sl_b) with P in sl_w's dtype.
+    """
+    import numpy as np
+
+    sh, sw = wh // bh, ww // bw
+    L = wh * ww
+    i, j = np.arange(L) // ww, np.arange(L) % ww
+    m = (i // sh) * bw + (j // sw)            # base cell of each token
+    r = (i % sh) * sw + (j % sw)              # sub-position inside cell
+    onehot = np.zeros((bh * bw, L), np.float32)
+    onehot[m, np.arange(L)] = 1.0
+    P = jnp.asarray(onehot) * sl_w[jnp.asarray(r)][None, :].astype(jnp.float32)
+    return P.astype(sl_w.dtype), sl_b
+
+
+def _rect_win_partition(x, wh, ww):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, wh * ww, c)
+
+
+def _rect_win_reverse(wins, wh, ww, h, w):
+    b = wins.shape[0] // (h // wh * (w // ww))
+    x = wins.reshape(b, h // wh, w // ww, wh, ww, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _scc_block_kernel(qv_ref, p_ref, slb_ref, wproj_ref, bproj_ref,
+                      bias_ref, o_ref, *, heads: int, wh: int, ww: int):
+    c = qv_ref.shape[-1]
+    c2 = c // 2
+    d = c2 // heads
+    L = wh * ww
+    x = qv_ref[0].reshape(L, c)
+    q = x[:, :c2]
+    v = x[:, c2:]
+
+    # base projection: vs = P @ v + sl_b  (baseL, c2), f32 accumulate
+    vs = jax.lax.dot_general(
+        p_ref[:], v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vs = (vs + slb_ref[0, 0].astype(jnp.float32)).astype(x.dtype)
+
+    # spatial self-correlation per head: q @ vs^T / d (NO softmax — SCC is
+    # a linear correlation, ref: hitsrf_arch.py:249-258), + dynamic bias
+    outs = []
+    inv_d = 1.0 / float(d)
+    for h in range(heads):
+        qh = q[:, h * d:(h + 1) * d]
+        vsh = vs[:, h * d:(h + 1) * d]
+        corr = jax.lax.dot_general(
+            qh, vsh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        corr = corr * inv_d + bias_ref[h].astype(jnp.float32)
+        outs.append(jax.lax.dot_general(
+            corr.astype(x.dtype), vsh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    x_spatial = jnp.concatenate(outs, axis=-1).astype(x.dtype)   # (L, c2)
+
+    # channel self-correlation (single head): (c2, c2) Gram over tokens
+    corr_c = jax.lax.dot_general(
+        q, v, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (1.0 / float(L))
+    x_channel = jax.lax.dot_general(
+        v, corr_c.astype(x.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)      # (L, c2)
+
+    o = jnp.concatenate([x_spatial, x_channel], axis=-1)
+    o = jax.lax.dot_general(
+        o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = o + bproj_ref[0].astype(jnp.float32)
+    o_ref[0] = o.reshape(wh, ww, c).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "base",
+                                             "interpret"))
+def fused_scc_block(qv_img, sl_w, sl_b, w_proj, b_proj, bias, *, heads: int,
+                    window_size: tuple, base: tuple,
+                    interpret: bool | None = None):
+    """HiT-SRF SCC middle INCLUDING the base projection and output proj.
+
+    The XLA path materializes per-window q/v tensors, a 7-D
+    reshape/transpose chain for the base-grid value projection, two
+    correlation einsums per branch and two window reverses — ~8 HBM round
+    trips of C-channel images for a dim-60 model that is entirely
+    bandwidth-bound. This kernel reads the DFE-projected qv image once per
+    window, computes the base projection (as one dense P @ v matmul),
+    both correlations (spatial per-head with the DynamicPosBias bias,
+    channel Gram), the concat and the output projection in VMEM, and
+    writes only the C-channel result (ref: hat/archs/hitsrf_arch.py:175-320).
+
+    Args:
+      qv_img: (B, H, W, C) DFE output; channels = [q (C/2) | v (C/2)],
+        head h = contiguous d-slice. H % wh == 0, W % ww == 0.
+      sl_w: (ratio,) spatial_linear kernel column; sl_b: () its bias.
+      w_proj: (C, C); b_proj: (C,).
+      bias: (heads, L, baseL) f32 dynamic position bias (SCC._spatial_bias).
+    Returns:
+      (B, H, W, C) projected correlation output.
+    """
+    b, h_img, w_img, c = qv_img.shape
+    wh, ww = window_size
+    bh, bw = base
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = wh * ww
+    bl = bh * bw
+    P, _ = _scc_base_projection(wh, ww, bh, bw, sl_w, sl_b)
+    slb2 = sl_b.reshape(1, 1)
+    bproj2 = b_proj.reshape(1, c)
+    grid = (b, h_img // wh, w_img // ww)
+    return pl.pallas_call(
+        functools.partial(_scc_block_kernel, heads=heads, wh=wh, ww=ww),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, wh, ww, c), lambda bb, i, j: (bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, L), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, L, bl), lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wh, ww, c),
+                               lambda bb, i, j: (bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), qv_img.dtype),
+        interpret=interpret,
+    )(qv_img, P, slb2, w_proj, bproj2, bias)
+
+
+def scc_block_reference(qv_img, sl_w, sl_b, w_proj, b_proj, bias,
+                        heads: int, window_size: tuple, base: tuple):
+    """XLA oracle/backward for fused_scc_block (same math as
+    models/hitsrf_arch.py::SCC.__call__ after the qv projection)."""
+    b, h_img, w_img, c = qv_img.shape
+    wh, ww = window_size
+    bh, bw = base
+    c2 = c // 2
+    d = c2 // heads
+    L = wh * ww
+    bl = bh * bw
+    P, _ = _scc_base_projection(wh, ww, bh, bw, sl_w, sl_b)
+    qvw = _rect_win_partition(qv_img, wh, ww)                # (BW, L, c)
+    q, v = qvw[..., :c2], qvw[..., c2:]
+    vs = jnp.einsum("ml,blc->bmc", P.astype(v.dtype), v) + sl_b.astype(v.dtype)
+    bw_n = q.shape[0]
+    qh = q.reshape(bw_n, L, heads, d).transpose(0, 2, 1, 3)
+    vsh = vs.reshape(bw_n, bl, heads, d).transpose(0, 2, 1, 3)
+    corr = jnp.einsum("bhld,bhmd->bhlm", qh, vsh) / float(d) \
+        + bias[None].astype(qh.dtype)
+    xs = jnp.einsum("bhlm,bhmd->bhld", corr, vsh)
+    xs = xs.transpose(0, 2, 1, 3).reshape(bw_n, L, c2)
+    corr_c = jnp.einsum("blc,bld->bcd", q, v) / float(L)
+    xc = jnp.einsum("bcd,bld->blc", corr_c, v)
+    out = jnp.concatenate([xs, xc], axis=-1)
+    out = out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
+    return _rect_win_reverse(out, wh, ww, h_img, w_img)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_scc_block_ad(qv_img, sl_w, sl_b, w_proj, b_proj, bias, heads,
+                       window_size, base):
+    """Fused SCC block forward, XLA backward."""
+    return fused_scc_block(qv_img, sl_w, sl_b, w_proj, b_proj, bias,
+                           heads=heads, window_size=window_size, base=base)
+
+
+def _scc_block_ad_fwd(qv_img, sl_w, sl_b, w_proj, b_proj, bias, heads,
+                      window_size, base):
+    out = fused_scc_block(qv_img, sl_w, sl_b, w_proj, b_proj, bias,
+                          heads=heads, window_size=window_size, base=base)
+    return out, (qv_img, sl_w, sl_b, w_proj, b_proj, bias)
+
+
+def _scc_block_ad_bwd(heads, window_size, base, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: scc_block_reference(*a, heads, window_size, base), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+fused_scc_block_ad.defvjp(_scc_block_ad_fwd, _scc_block_ad_bwd)

@@ -254,3 +254,83 @@ def test_swinir_block_pallas_routing_matches_xla(rng, monkeypatch):
         monkeypatch.setenv("SR_TPU_FFN", "fused")
         got = np.asarray(mod.apply({"params": params}, x))
         np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"ss={ss}")
+
+
+def test_fused_scc_block_matches_reference(rng):
+    """HiT-SRF SCC megakernel (base projection + spatial/channel
+    correlations + out-proj) vs the XLA chain, square and rectangular
+    windows with ratio > 1 and == 1."""
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_scc_block, scc_block_reference)
+
+    for (wh, ww), (bh, bw), hw in [((8, 8), (4, 4), (16, 16)),
+                                   ((4, 4), (4, 4), (8, 8)),
+                                   ((8, 4), (4, 4), (16, 8))]:
+        b, c, heads = 2, 20, 2
+        x = jnp.asarray(rng.standard_normal((b, hw[0], hw[1], c)),
+                        jnp.float32)
+        ratio = (wh * ww) // (bh * bw)
+        sl_w = jnp.asarray(rng.standard_normal((ratio,)) * 0.3, jnp.float32)
+        sl_b = jnp.asarray(rng.standard_normal(()), jnp.float32)
+        w_proj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+        b_proj = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        bias = jnp.asarray(
+            rng.standard_normal((heads, wh * ww, bh * bw)) * 0.02,
+            jnp.float32)
+        ref = np.asarray(scc_block_reference(x, sl_w, sl_b, w_proj, b_proj,
+                                             bias, heads, (wh, ww), (bh, bw)))
+        got = np.asarray(fused_scc_block(x, sl_w, sl_b, w_proj, b_proj,
+                                         bias, heads=heads,
+                                         window_size=(wh, ww), base=(bh, bw)))
+        np.testing.assert_allclose(got, ref, atol=3e-5,
+                                   err_msg=f"win={(wh, ww)}")
+
+
+def test_hitsrf_scc_pallas_routing_matches_xla(rng, monkeypatch):
+    """The SCC module forced through the fused route (interpret on CPU)
+    matches the XLA windowed path, across hierarchical window sizes."""
+    from super_resolution_tpu.models.hitsrf_arch import SCC
+
+    for win in [(4, 4), (8, 8), (16, 16)]:
+        mod = SCC(dim=20, base_win_size=(8, 8), window_size=win,
+                  num_heads=2)
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 20)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("SR_TPU_ATTN", "xla")
+        ref = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+        got = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"win={win}")
+
+
+def test_fused_scc_block_grad(rng):
+    """The _ad wrapper's XLA backward differentiates the kernel's math."""
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_scc_block_ad, scc_block_reference)
+
+    b, hw, c, heads = 1, 8, 8, 2
+    wh = ww = 4
+    bh = bw = 2
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    ratio = (wh * ww) // (bh * bw)
+    sl_w = jnp.asarray(rng.standard_normal((ratio,)) * 0.3, jnp.float32)
+    sl_b = jnp.asarray(rng.standard_normal(()), jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b_proj = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, wh * ww, bh * bw)) * 0.02,
+                       jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_scc_block_ad(*a, heads, (wh, ww), (bh, bw)) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(scc_block_reference(*a, heads, (wh, ww),
+                                           (bh, bw)) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        x, sl_w, sl_b, w_proj, b_proj, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        x, sl_w, sl_b, w_proj, b_proj, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
