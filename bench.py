@@ -213,6 +213,48 @@ def main():
             parity[f"kernel_parity_{parch}_vs_bf16xla_db"] = \
                 p["psnr_prod_vs_bf16xla_db"]
 
+    # ------------------------------------------------- machine roofline
+    # Measured practical peaks of THIS chip (the axon-virtualized v5e
+    # delivers ~1/5 of datasheet: scripts/roofline.py measured 37.7
+    # bf16-matmul TFLOP/s and 141-175 GB/s HBM vs the 197/819 nameplate),
+    # so MFU claims against datasheet numbers are meaningless here.
+    # Carried-dependency fori loops — XLA cannot hoist the body.
+    roofline = {}
+    if os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
+        nmat, loops = 4096, 10
+        amat = jnp.asarray(
+            np.random.default_rng(2).random((nmat, nmat)), jnp.bfloat16)
+
+        @jax.jit
+        def mm(a):
+            def body(_, t):
+                return jax.lax.dot(
+                    t, t, preferred_element_type=jnp.bfloat16) * 1e-3
+            return jnp.sum(jax.lax.fori_loop(0, loops, body, a))
+
+        float(mm(amat))
+        dtm = _median_time(lambda: float(mm(amat))) / loops
+        roofline["machine_matmul_tflops"] = round(2 * nmat ** 3 / dtm / 1e12,
+                                                  1)
+        nel = 128 * 1024 * 1024
+        vel = jnp.zeros((nel,), jnp.bfloat16)
+
+        @jax.jit
+        def ew(v):
+            def body(_, t):
+                return t + jnp.bfloat16(1)
+            return jnp.sum(jax.lax.fori_loop(0, loops, body, v))
+
+        float(ew(vel))
+        dte = _median_time(lambda: float(ew(vel))) / loops
+        roofline["machine_membw_gbs"] = round(2 * nel * 2 / dte / 1e9)
+        # useful model FLOPs at the HD headline vs the measured matmul peak
+        # (BASELINE.md: ~3.125 MFLOP/out-pix, x1.2 band-halo issue factor)
+        model_tflops = value * 3.125e6 * 1.2 / 1e6
+        roofline["model_tflops"] = round(model_tflops, 1)
+        roofline["pct_of_measured_matmul_peak"] = round(
+            100 * model_tflops / roofline["machine_matmul_tflops"], 1)
+
     # peak device memory (reference protocol reports peak alloc —
     # test_direct_metrics.py:99-101); axon hides it -> analytic estimate
     try:
@@ -245,6 +287,7 @@ def main():
         "urban100_shape_unit": "out_Mpix/s (176x256 LR, per-image regime)",
         "peak_device_mem_mb": peak_mb,
         "est_activation_mb": est,
+        **roofline,
         **parity,
     }))
 

@@ -190,6 +190,35 @@ class HABClassic(nn.Module):
 
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_ffn import ffn_fused_enabled
+        if (ss == 0 and _pallas_attention_enabled() and ffn_fused_enabled()
+                and not self.is_initializing()
+                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0
+                and (deterministic or self.drop_path_rate == 0)):
+            # whole-block megakernel (unshifted only): W-MSA + 3-way
+            # residual + LN2/MLP tail in one VMEM pass — the attention
+            # output never round-trips HBM
+            # (ops/pallas_attention.py::fused_hab_block)
+            from super_resolution_tpu.ops.pallas_attention import \
+                fused_hab_block_ad
+            at = self.attn
+            d = c // self.num_heads
+            n = ws * ws
+            bias = at.relative_position_bias_table[at._rpi.reshape(-1)]
+            bias = bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            qkv_p = at.qkv.variables["params"]
+            proj_p = at.proj.variables["params"]
+            np2 = self.norm2.variables["params"]
+            mp = self.mlp
+            return fused_hab_block_ad(
+                x, shortcut, conv_x, qkv_p["kernel"], qkv_p["bias"],
+                proj_p["kernel"], proj_p["bias"], bias.astype(jnp.float32),
+                np2["scale"], np2["bias"],
+                mp.fc1.variables["params"]["kernel"],
+                mp.fc1.variables["params"]["bias"],
+                mp.fc2.variables["params"]["kernel"],
+                mp.fc2.variables["params"]["bias"],
+                self.num_heads, ws, d ** -0.5, float(self.conv_scale))
         if (_pallas_attention_enabled() and not self.is_initializing()
                 and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0):
             # fused (S)W-MSA block megakernel: qkv projection, partition,
@@ -221,6 +250,22 @@ class HABClassic(nn.Module):
         if not deterministic and self.drop_path_rate > 0:
             attn_x = drop_path(attn_x, self.drop_path_rate, False,
                                self.make_rng("droppath"))
+        from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
+                                                         mlp_block_sum3_ad)
+        if (ffn_fused_enabled() and not self.is_initializing()
+                and x.ndim == 4
+                and (deterministic or self.drop_path_rate == 0)):
+            # fused tail INCLUDING the 3-way residual: the XLA add would
+            # materialize x (read 3 C-images, write 1) only for the mlp
+            # kernel to re-read it — one extra HBM round trip per block
+            np2 = self.norm2.variables["params"]
+            mp = self.mlp
+            return mlp_block_sum3_ad(
+                shortcut, attn_x, conv_x, np2["scale"], np2["bias"],
+                mp.fc1.variables["params"]["kernel"],
+                mp.fc1.variables["params"]["bias"],
+                mp.fc2.variables["params"]["kernel"],
+                mp.fc2.variables["params"]["bias"], float(self.conv_scale))
         x = shortcut + attn_x + conv_x * self.conv_scale
         fused = _fused_mlp_tail(
             self, x, deterministic or self.drop_path_rate == 0)

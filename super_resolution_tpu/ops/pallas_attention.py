@@ -1289,3 +1289,159 @@ def _scc_block_ad_bwd(heads, window_size, base, res, g):
 
 
 fused_scc_block_ad.defvjp(_scc_block_ad_fwd, _scc_block_ad_bwd)
+
+
+# --------------------------------------------------------------------------
+# Full unshifted-HAB megakernel: W-MSA + 3-way residual + MLP tail
+# --------------------------------------------------------------------------
+
+def _hab_block_kernel(lnx_ref, x_ref, cv_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, bias_ref, gam_ref, bet_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, o_ref, *, heads: int, ws: int,
+                      scale: float, cs: float, eps: float):
+    from super_resolution_tpu.ops.pallas_ffn import _mlp_tail_math
+
+    c = lnx_ref.shape[-1]
+    d = c // heads
+    n = ws * ws
+    lnx = lnx_ref[0].reshape(n, c)
+    qkv = jax.lax.dot_general(
+        lnx, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(lnx.dtype)
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[h].astype(jnp.float32)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(lnx.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1).astype(lnx.dtype)
+    attn = jax.lax.dot_general(
+        attn, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    attn = attn + bproj_ref[0].astype(jnp.float32)
+    # 3-way residual, then the LN2 + MLP + residual tail, all in f32
+    xf = (x_ref[0].reshape(n, c).astype(jnp.float32) + attn
+          + cv_ref[0].reshape(n, c).astype(jnp.float32) * cs)
+    out = _mlp_tail_math(xf, lnx.dtype, gam_ref, bet_ref, w1_ref, b1_ref,
+                         w2_ref, b2_ref, eps)
+    o_ref[0] = out.reshape(ws, ws, c).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size", "scale",
+                                             "conv_scale", "eps",
+                                             "interpret"))
+def fused_hab_block(lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj, b_proj,
+                    bias, gamma, beta, w1, b1, w2, b2, *, heads: int,
+                    window_size: int, scale: float | None = None,
+                    conv_scale: float = 0.01, eps: float = 1e-5,
+                    interpret: bool | None = None):
+    """The ENTIRE unshifted classic HAB after norm1/CAB in one kernel:
+
+        attn = proj(W-MSA(qkv(ln_x)))          per ws-window, with RPB
+        x    = shortcut + attn + conv_scale * conv_x
+        out  = x + fc2(gelu(fc1(LN2(x))))
+
+    (ref: swinir_arch.py:95-192 attention; hat structure per SURVEY §2.3.)
+    vs the split MSA-megakernel + residual-fused-MLP pipeline this removes
+    the attention output's HBM write + re-read (~0.93 GB per block at the
+    bench band shape on a ~150 GB/s-effective chip). Shifted blocks keep
+    the split path: their roll-back between attention and residual cannot
+    cross a pallas_call boundary.
+
+    Args:
+      lnx_img: (B, H, W, C) norm1 output; x_img: the block input
+        (shortcut); conv_img: CAB branch output (unscaled).
+      w_qkv (C, 3C), w_proj (C, C), bias (heads, N, N) f32 RPB,
+      gamma/beta: norm2 params; w1 (C, HID), w2 (HID, C).
+    """
+    b, h_img, w_img, c = lnx_img.shape
+    ws = window_size
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = ws * ws
+    hid = w1.shape[1]
+    grid = (b, h_img // ws, w_img // ws)
+    img = pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
+                       memory_space=pltpu.VMEM)
+    cvec = lambda m: pl.BlockSpec((1, m), lambda bb, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    mat = lambda r, co: pl.BlockSpec((r, co), lambda bb, i, j: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_hab_block_kernel, heads=heads, ws=ws, scale=scale,
+                          cs=conv_scale, eps=eps),
+        grid=grid,
+        in_specs=[
+            img, img, img,
+            mat(c, 3 * c), cvec(3 * c), mat(c, c), cvec(c),
+            pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cvec(c), cvec(c), mat(c, hid), cvec(hid), mat(hid, c), cvec(c),
+        ],
+        out_specs=img,
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), lnx_img.dtype),
+        interpret=interpret,
+    )(lnx_img, x_img, conv_img, w_qkv, b_qkv.reshape(1, 3 * c), w_proj,
+      b_proj.reshape(1, c), bias, gamma.reshape(1, c), beta.reshape(1, c),
+      w1, b1.reshape(1, hid), w2, b2.reshape(1, c))
+
+
+def hab_block_reference(lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj,
+                        b_proj, bias, gamma, beta, w1, b1, w2, b2,
+                        heads: int, window_size: int,
+                        scale: float | None = None, conv_scale: float = 0.01,
+                        eps: float = 1e-5):
+    """XLA oracle/backward for fused_hab_block."""
+    from super_resolution_tpu.ops.pallas_ffn import (mlp_block_reference)
+
+    mask = jnp.zeros((1, window_size ** 2, window_size ** 2), jnp.float32)
+    attn = msa_block_reference(lnx_img, w_qkv, b_qkv, w_proj, b_proj, bias,
+                               mask, heads, window_size, scale)
+    x = (x_img.astype(jnp.float32) + attn.astype(jnp.float32)
+         + conv_img.astype(jnp.float32) * conv_scale).astype(x_img.dtype)
+    return mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def fused_hab_block_ad(lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj,
+                       b_proj, bias, gamma, beta, w1, b1, w2, b2, heads,
+                       window_size, scale, conv_scale):
+    """Fused forward, XLA backward."""
+    return fused_hab_block(lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj,
+                           b_proj, bias, gamma, beta, w1, b1, w2, b2,
+                           heads=heads, window_size=window_size, scale=scale,
+                           conv_scale=conv_scale)
+
+
+def _hab_block_ad_fwd(lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj, b_proj,
+                      bias, gamma, beta, w1, b1, w2, b2, heads, window_size,
+                      scale, conv_scale):
+    args = (lnx_img, x_img, conv_img, w_qkv, b_qkv, w_proj, b_proj, bias,
+            gamma, beta, w1, b1, w2, b2)
+    out = fused_hab_block(*args, heads=heads, window_size=window_size,
+                          scale=scale, conv_scale=conv_scale)
+    return out, args
+
+
+def _hab_block_ad_bwd(heads, window_size, scale, conv_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: hab_block_reference(*a, heads, window_size, scale,
+                                       conv_scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+fused_hab_block_ad.defvjp(_hab_block_ad_fwd, _hab_block_ad_bwd)

@@ -267,17 +267,16 @@ def ffn_fused_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                *, eps: float):
-    c = xc.shape[-1]
-    rows = xc[0].reshape(-1, c)
-    xf = rows.astype(jnp.float32)
+def _mlp_tail_math(xf, dtype, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, eps: float):
+    """Shared VMEM tail:  xf + fc2(gelu(fc1(LN(xf))))  with f32 stats/accum.
+    xf: (rows, C) f32. Returns (rows, C) f32."""
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xd = xf - mu
     var = jnp.mean(xd * xd, axis=-1, keepdims=True)
     y = (xd * jax.lax.rsqrt(var + eps)
          * gam_ref[0].astype(jnp.float32)
-         + bet_ref[0].astype(jnp.float32)).astype(rows.dtype)
+         + bet_ref[0].astype(jnp.float32)).astype(dtype)
     h = jax.lax.dot_general(
         y, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
@@ -291,9 +290,17 @@ def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
     g = 0.5 * h * (1.0 + s * (1.0 - poly * jnp.exp(-az * az)))
     out = jax.lax.dot_general(
-        g.astype(rows.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        g.astype(dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
-    out = out + xf
+    return out + xf
+
+
+def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, eps: float):
+    c = xc.shape[-1]
+    rows = xc[0].reshape(-1, c)
+    out = _mlp_tail_math(rows.astype(jnp.float32), rows.dtype, gam_ref,
+                         bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, eps)
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
@@ -378,3 +385,102 @@ def _mlp_ad_bwd(res, g):
 
 
 mlp_block_ad.defvjp(_mlp_ad_fwd, _mlp_ad_bwd)
+
+
+def _mlp_sum3_kernel(s_ref, a_ref, cv_ref, gam_ref, bet_ref, w1_ref, b1_ref,
+                     w2_ref, b2_ref, o_ref, *, eps: float, cs: float):
+    c = s_ref.shape[-1]
+    xf = (s_ref[0].reshape(-1, c).astype(jnp.float32)
+          + a_ref[0].reshape(-1, c).astype(jnp.float32)
+          + cv_ref[0].reshape(-1, c).astype(jnp.float32) * cs)
+    out = _mlp_tail_math(xf, s_ref.dtype, gam_ref, bet_ref, w1_ref, b1_ref,
+                         w2_ref, b2_ref, eps)
+    o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("conv_scale", "eps",
+                                             "tile_rows", "interpret"))
+def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
+                   conv_scale: float, eps: float = 1e-5, tile_rows: int = 0,
+                   interpret: bool | None = None):
+    """Fused HAB tail INCLUDING the 3-way residual:
+
+        x   = shortcut + attn_x + conv_scale * conv_x
+        out = x + fc2(gelu(fc1(LN(x))))
+
+    (ref: hat/archs/hat_arch.py:236-237 — attn/conv merge then MLP.) The
+    XLA add materializes x (read 3 C-images, write 1) and mlp_block then
+    re-reads it: ~0.93 GB extra HBM round trip per block at the bench
+    band shape. This kernel reads the three summands once and writes only
+    the block output — measured machine BW (scripts/roofline.py) makes
+    that the binding constraint, not FLOPs.
+    """
+    b, h, w, c = shortcut.shape
+    hid = w1.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th = tile_rows or max(1, min(8, (8 * 384) // w))
+    pad_r = (-h) % th
+    if pad_r:
+        pads = ((0, 0), (0, pad_r), (0, 0), (0, 0))
+        shortcut = jnp.pad(shortcut, pads)
+        attn_x = jnp.pad(attn_x, pads)
+        conv_x = jnp.pad(conv_x, pads)
+    hp = shortcut.shape[1]
+
+    grid = (b, hp // th)
+    img = pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_sum3_kernel, eps=eps, cs=conv_scale),
+        grid=grid,
+        in_specs=[
+            img, img, img,
+            vec(c), vec(c),
+            pl.BlockSpec((c, hid), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(hid),
+            pl.BlockSpec((hid, c), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(c),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), shortcut.dtype),
+        interpret=interpret,
+    )(shortcut, attn_x, conv_x, gamma.reshape(1, c), beta.reshape(1, c),
+      w1, b1.reshape(1, hid), w2, b2.reshape(1, c))
+    return out[:, :h]
+
+
+def mlp_block_sum3_reference(shortcut, attn_x, conv_x, gamma, beta, w1, b1,
+                             w2, b2, conv_scale: float, eps: float = 1e-5):
+    """Unfused 3-way residual + MLP tail (oracle + backward)."""
+    x = (shortcut.astype(jnp.float32) + attn_x.astype(jnp.float32)
+         + conv_x.astype(jnp.float32) * conv_scale).astype(shortcut.dtype)
+    return mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def mlp_block_sum3_ad(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2,
+                      conv_scale):
+    """Fused forward, XLA backward."""
+    return mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1,
+                          w2, b2, conv_scale=conv_scale)
+
+
+def _sum3_ad_fwd(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2,
+                 conv_scale):
+    args = (shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2)
+    return mlp_block_sum3(*args, conv_scale=conv_scale), args
+
+
+def _sum3_ad_bwd(conv_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: mlp_block_sum3_reference(*a, conv_scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+mlp_block_sum3_ad.defvjp(_sum3_ad_fwd, _sum3_ad_bwd)

@@ -153,3 +153,73 @@ def test_classic_fused_mlp_tail_matches(rng, monkeypatch):
         got = np.asarray(mod.apply({"params": params}, x))
         np.testing.assert_allclose(got, ref, atol=2e-5,
                                    err_msg=type(mod).__name__)
+
+
+def test_mlp_block_sum3_matches_reference(rng):
+    """3-way residual fused into the MLP tail: kernel vs unfused oracle,
+    including the row-padding path (h not a multiple of tile_rows)."""
+    from super_resolution_tpu.ops.pallas_ffn import (mlp_block_sum3,
+                                                     mlp_block_sum3_reference)
+
+    for h in (8, 10):
+        b, w, c = 2, 12, 16
+        s = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        cv = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((c, 2 * c)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((2 * c,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((2 * c, c)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        ref = np.asarray(mlp_block_sum3_reference(s, a, cv, gamma, beta, w1,
+                                                  b1, w2, b2, 0.01))
+        got = np.asarray(mlp_block_sum3(s, a, cv, gamma, beta, w1, b1, w2,
+                                        b2, conv_scale=0.01, tile_rows=4))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"h={h}")
+
+
+def test_classic_hab_sum3_routing_matches_xla(rng, monkeypatch):
+    """HABClassic with the residual-fused tail (attn kernel on AND off)
+    matches the pure XLA path."""
+    from super_resolution_tpu.models.hat_classic_arch import HABClassic
+
+    for ss in [0, 4]:
+        mod = HABClassic(dim=24, num_heads=2, window_size=8, shift_size=ss,
+                         mlp_ratio=2.0, squeeze_factor=6, conv_scale=0.01)
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 24)).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("SR_TPU_FFN", "xla")
+        monkeypatch.setenv("SR_TPU_ATTN", "xla")
+        ref = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.setenv("SR_TPU_FFN", "fused")
+        got = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"ss={ss}")
+        monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+        got2 = np.asarray(mod.apply({"params": params}, x))
+        np.testing.assert_allclose(got2, ref, atol=3e-5, err_msg=f"ss={ss}")
+
+
+def test_mlp_block_sum3_grad(rng):
+    from super_resolution_tpu.ops.pallas_ffn import (mlp_block_sum3_ad,
+                                                     mlp_block_sum3_reference)
+
+    b, h, w, c = 1, 8, 8, 8
+    args = [jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+            for _ in range(3)]
+    args += [jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+             for _ in range(2)]
+    args += [jnp.asarray(rng.standard_normal((c, 2 * c)) * 0.1, jnp.float32),
+             jnp.asarray(rng.standard_normal((2 * c,)) * 0.1, jnp.float32),
+             jnp.asarray(rng.standard_normal((2 * c, c)) * 0.1, jnp.float32),
+             jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)]
+
+    gf = jax.grad(lambda *a: jnp.sum(mlp_block_sum3_ad(*a, 0.01) ** 2),
+                  argnums=tuple(range(9)))(*args)
+    gr = jax.grad(
+        lambda *a: jnp.sum(mlp_block_sum3_reference(*a, 0.01) ** 2),
+        argnums=tuple(range(9)))(*args)
+    for got, ref in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
