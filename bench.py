@@ -194,10 +194,18 @@ def main():
     bvalue = g * uh * scale * uw * scale / 1e6 / bdt
 
     # --------------------------------------- Urban100-shape per-image leg
+    # whole-image single tile — the band plan would split 176x256 into two
+    # 50%-overlapping tiles (a bench artifact, not a regime property)
+    @jax.jit
+    def run_whole(params, img):
+        out = tile_forward(lambda t: apply_fn(params, t), img,
+                           scale, (uh, uw), tile_pad, chunk=1)
+        return jnp.mean(out)
+
     xu = jnp.asarray(np.random.default_rng(1).random((1, uh, uw, 3)),
                      jnp.float32)
-    float(run(params, xu))  # compile
-    udt = _median_time(lambda: float(run(params, xu)))
+    float(run_whole(params, xu))  # compile
+    udt = _median_time(lambda: float(run_whole(params, xu)))
     uvalue = uh * scale * uw * scale / 1e6 / udt
 
     # ------------------------------------------------- compiled-kernel parity

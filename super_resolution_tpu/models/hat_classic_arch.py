@@ -191,14 +191,22 @@ class HABClassic(nn.Module):
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_ffn import ffn_fused_enabled
-        if (ss == 0 and _pallas_attention_enabled() and ffn_fused_enabled()
+        import os as _os
+        if (ss == 0 and _os.environ.get("SR_TPU_HAB_MEGA") == "1"
+                and _pallas_attention_enabled() and ffn_fused_enabled()
                 and not self.is_initializing()
                 and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0
                 and (deterministic or self.drop_path_rate == 0)):
             # whole-block megakernel (unshifted only): W-MSA + 3-way
             # residual + LN2/MLP tail in one VMEM pass — the attention
             # output never round-trips HBM
-            # (ops/pallas_attention.py::fused_hab_block)
+            # (ops/pallas_attention.py::fused_hab_block).
+            # MEASURED SLOWER on v5e (bench classic HD 7.56 vs 7.87
+            # out-Mpix/s): per-window programs cut the MLP matmuls from
+            # M = th*W rows (separate mlp kernel) to M = ws^2 = 256,
+            # which costs more than the saved 0.93 GB/block HBM round
+            # trip. Opt-in via SR_TPU_HAB_MEGA=1; default stays the
+            # split MSA-kernel + residual-fused-MLP pipeline.
             from super_resolution_tpu.ops.pallas_attention import \
                 fused_hab_block_ad
             at = self.attn

@@ -199,6 +199,12 @@ def test_classic_hab_sum3_routing_matches_xla(rng, monkeypatch):
         monkeypatch.setenv("SR_TPU_ATTN", "pallas")
         got2 = np.asarray(mod.apply({"params": params}, x))
         np.testing.assert_allclose(got2, ref, atol=3e-5, err_msg=f"ss={ss}")
+        # whole-block megakernel (opt-in: measured slower on v5e, kept
+        # correct behind SR_TPU_HAB_MEGA)
+        monkeypatch.setenv("SR_TPU_HAB_MEGA", "1")
+        got3 = np.asarray(mod.apply({"params": params}, x))
+        monkeypatch.delenv("SR_TPU_HAB_MEGA")
+        np.testing.assert_allclose(got3, ref, atol=3e-5, err_msg=f"ss={ss}")
 
 
 def test_mlp_block_sum3_grad(rng):
