@@ -25,9 +25,10 @@ for attn in ("xla", "pallas"):
 
     @jax.jit
     def run(p, x):
-        def body(_, acc):
-            return acc + jnp.mean(ab(p, x))
-        return jax.lax.fori_loop(0, 5, body, 0.0)
+        # carried dependency so XLA cannot hoist the loop-invariant body
+        def body(_, t):
+            return t + (jnp.mean(ab(p, t)) * 0).astype(t.dtype)
+        return jnp.mean(jax.lax.fori_loop(0, 5, body, x))
 
     float(run(pb, x))
     t0 = time.perf_counter(); float(run(pb, x)); dt = (time.perf_counter() - t0) / 5

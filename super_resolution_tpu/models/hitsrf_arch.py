@@ -136,8 +136,12 @@ class SCC(nn.Module):
 
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            scc_block_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
                 and xh % wh == 0 and xw % ww == 0
+                and scc_block_supported(wh, ww, xw, xc, self.num_heads,
+                                        bh * bw)
                 and (xc // 2) % self.num_heads == 0):
             # SCC block megakernel: windowing, base-grid value projection,
             # spatial + channel correlations and the output projection in

@@ -1115,6 +1115,23 @@ def _scc_base_projection(wh, ww, bh, bw, sl_w, sl_b):
     return P.astype(sl_w.dtype), sl_b
 
 
+def scc_block_supported(wh: int, ww: int, w_img: int, c: int,
+                        heads: int, base_l: int = 64) -> bool:
+    """On-chip constraints for the fused SCC route (both caught by
+    scripts/bench_hitsrf.py on real hardware; interpret mode enforces
+    neither):
+    - Mosaic requires the block's sublane dim (the window width) to be
+      divisible by 8 or equal to the full array dim — HiT-SRF's ratio-0.5
+      block (4x4 windows) falls back to XLA;
+    - scoped VMEM is ~16 MB/core: the f32 bias (heads, L, baseL) plus the
+      per-head correlation intermediates of a 64x64 window (L=4096) need
+      ~21.6 MB, so the largest hierarchical window falls back too.
+    """
+    L = wh * ww
+    est = heads * L * base_l * 4 + 8 * L * c * 4
+    return (ww % 8 == 0 or ww == w_img) and est < 12 * 2 ** 20
+
+
 def _rect_win_partition(x, wh, ww):
     b, h, w, c = x.shape
     x = x.reshape(b, h // wh, wh, w // ww, ww, c).transpose(0, 1, 3, 2, 4, 5)
@@ -1141,7 +1158,9 @@ def _scc_block_kernel(qv_ref, p_ref, slb_ref, wproj_ref, bproj_ref,
     vs = jax.lax.dot_general(
         p_ref[:], v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    vs = (vs + slb_ref[0, 0].astype(jnp.float32)).astype(x.dtype)
+    # (1,1) block broadcast-added as a vector — a scalar extract of a
+    # non-32-bit ref is unsupported by Mosaic
+    vs = (vs + slb_ref[...].astype(jnp.float32)).astype(x.dtype)
 
     # spatial self-correlation per head: q @ vs^T / d (NO softmax — SCC is
     # a linear correlation, ref: hitsrf_arch.py:249-258), + dynamic bias
@@ -1210,7 +1229,10 @@ def fused_scc_block(qv_img, sl_w, sl_b, w_proj, b_proj, bias, *, heads: int,
     L = wh * ww
     bl = bh * bw
     P, _ = _scc_base_projection(wh, ww, bh, bw, sl_w, sl_b)
-    slb2 = sl_b.reshape(1, 1)
+    # pre-broadcast the scalar bias along lanes: in-kernel it only needs
+    # the (supported) sublane broadcast (Mosaic has no 2-axis broadcast,
+    # and no non-32-bit scalar extract)
+    slb2 = jnp.broadcast_to(sl_b.reshape(1, 1), (1, c // 2))
     bproj2 = b_proj.reshape(1, c)
     grid = (b, h_img // wh, w_img // ww)
     return pl.pallas_call(
@@ -1221,7 +1243,7 @@ def fused_scc_block(qv_img, sl_w, sl_b, w_proj, b_proj, bias, *, heads: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bl, L), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((1, c // 2), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
