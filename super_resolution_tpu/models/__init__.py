@@ -52,6 +52,12 @@ def build_network(opt: dict):
     network_type = opt.pop("type")
     cls = ARCH_REGISTRY.get(network_type)
     kwargs = {k: _tuplify(v) for k, v in opt.items() if k not in _IGNORED_KEYS}
+    # use_checkpoint (gradient checkpointing, ref hatx_arch.py:546-551) is
+    # honored by the archs that declare the field (nn.remat per RHAG) and
+    # dropped for the rest
+    if "use_checkpoint" in opt and "use_checkpoint" in getattr(
+            cls, "__dataclass_fields__", {}):
+        kwargs["use_checkpoint"] = opt["use_checkpoint"]
     # reference attention-backend strings (esc_arch.py ATTN_TYPE) -> ours:
     # Naive/SDPA/Flex are all the XLA path here; 'pallas' selects the fused
     # kernel explicitly

@@ -549,6 +549,10 @@ class HAT(nn.Module):
     ocab_esc_enable: bool = False
     ocab_esc_pdim: int = 16
     ocab_esc_kernel: int = 13
+    # gradient checkpointing: remat each RHAG so backprop stores only the
+    # group-boundary activations (the TPU analog of the reference's
+    # use_checkpoint, hatx_arch.py:546-551)
+    use_checkpoint: bool = False
 
     def setup(self):
         if self.upsampler != "pixelshuffle":
@@ -560,10 +564,12 @@ class HAT(nn.Module):
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbed(self.patch_norm, name="patch_embed")
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        rhag_cls = (nn.remat(RHAG, static_argnums=(2,))
+                    if self.use_checkpoint else RHAG)
         layers = []
         start = 0
         for i, depth in enumerate(self.depths):
-            layers.append(RHAG(
+            layers.append(rhag_cls(
                 dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
                 window_size=self.window_size, compress_ratio=self.compress_ratio,
                 squeeze_factor=self.squeeze_factor, conv_scale=self.conv_scale,
@@ -608,7 +614,8 @@ class HAT(nn.Module):
         """Deep feature body (ref: forward_features, hat_arch.py:828-846)."""
         x = self.patch_embed(x)
         for layer in self.layers:
-            x = layer(x, deterministic=deterministic)
+            # positional: static_argnums=(2,) on the remat-lifted RHAG
+            x = layer(x, deterministic)
         return self.norm(x)
 
     def __call__(self, x, deterministic: bool = True):

@@ -477,6 +477,10 @@ class HATClassic(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
+    # gradient checkpointing: remat each RHAG so backprop stores only the
+    # 6 group-boundary activations and recomputes block internals (the TPU
+    # analog of the reference's use_checkpoint, hatx_arch.py:546-551)
+    use_checkpoint: bool = False
 
     def setup(self):
         if self.upsampler != "pixelshuffle":
@@ -486,10 +490,12 @@ class HATClassic(nn.Module):
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbedNorm(self.patch_norm, name="patch_embed")
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        rhag_cls = (nn.remat(RHAGClassic, static_argnums=(2,))
+                    if self.use_checkpoint else RHAGClassic)
         layers = []
         start = 0
         for i, depth in enumerate(self.depths):
-            layers.append(RHAGClassic(
+            layers.append(rhag_cls(
                 dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
                 window_size=self.window_size,
                 compress_ratio=self.compress_ratio,
@@ -533,7 +539,8 @@ class HATClassic(nn.Module):
         feat = self.conv_first(x)
         body = self.patch_embed(feat)
         for layer in self.layers:
-            body = layer(body, deterministic=deterministic)
+            # positional: static_argnums=(2,) on the remat-lifted RHAG
+            body = layer(body, deterministic)
         body = self.norm(body)
         if self.conv_after_body is not None:
             body = self.conv_after_body(body)

@@ -343,6 +343,8 @@ class HATX(nn.Module):
     ocab_esc_kernel: int = 13
     kv_topk_ratio: float = 1.0
     use_focus_bias: bool = False
+    # gradient checkpointing per RHAG (ref honors this: hatx_arch.py:546-551)
+    use_checkpoint: bool = False
 
     def setup(self):
         import math
@@ -352,10 +354,12 @@ class HATX(nn.Module):
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbed(self.patch_norm, name="patch_embed")
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        rhag_cls = (nn.remat(RHAGX, static_argnums=(2,))
+                    if self.use_checkpoint else RHAGX)
         layers = []
         start = 0
         for i, depth in enumerate(self.depths):
-            layers.append(RHAGX(
+            layers.append(rhag_cls(
                 dim=self.embed_dim, depth=depth, num_heads=self.num_heads[i],
                 window_size=self.window_size,
                 compress_ratio=self.compress_ratio,
@@ -400,7 +404,8 @@ class HATX(nn.Module):
         feat = self.conv_first(x)
         body = self.patch_embed(feat)
         for layer in self.layers:
-            body = layer(body, deterministic=deterministic)
+            # positional: static_argnums=(2,) on the remat-lifted RHAG
+            body = layer(body, deterministic)
         body = self.norm(body)
         feat = self.conv_after_body(body) + feat
         y = nn.leaky_relu(self.conv_before_upsample_0(feat), negative_slope=0.01)

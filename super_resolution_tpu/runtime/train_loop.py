@@ -142,12 +142,23 @@ def make_sr_train_step(net, tx, train_opt: dict, grad_mask=None):
     if cri_pix is None:
         raise ValueError("train.pixel_opt is required for the SR step")
     ema_decay = train_opt.get("ema_decay", 0)
+    # bf16 mixed precision (train.use_amp — the TPU analog of the
+    # reference ESRModel's autocast, esc/models/esr_model.py:214-256):
+    # compute in bf16, master params / grads / optimizer state / loss in
+    # f32. No GradScaler needed — bf16 carries f32's exponent range.
+    use_amp = bool(train_opt.get("use_amp", False))
     takes_det = "deterministic" in inspect.signature(net.__call__).parameters
 
     def loss_fn(params, batch, rng):
         kwargs = {"deterministic": False} if takes_det else {}
-        sr = net.apply({"params": params}, batch["lq"],
-                       rngs={"droppath": rng}, **kwargs)
+        lq = batch["lq"]
+        if use_amp:
+            params = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+            lq = lq.astype(jnp.bfloat16)
+        sr = net.apply({"params": params}, lq,
+                       rngs={"droppath": rng}, **kwargs).astype(jnp.float32)
         l_pix = cri_pix(sr, batch["gt"])
         return l_pix, {"l_pix": l_pix}
 
