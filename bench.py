@@ -263,6 +263,55 @@ def main():
         roofline["pct_of_measured_matmul_peak"] = round(
             100 * model_tflops / roofline["machine_matmul_tflops"], 1)
 
+    # ------------------------------------------------- training throughput
+    # One jitted production train step (L1 + Adam + EMA, bf16 AMP) at the
+    # reference recipe's shapes: GT 256 / LQ 64, batch 4 per device
+    # (HAT/README.md:109 trains batch 4/GPU at ~20 GB). Full sweep incl.
+    # remat memory boundaries: scripts/bench_train.py / README "Training
+    # performance". Guarded: a train-side failure must not sink the
+    # inference headline.
+    train_fields = {}
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            from super_resolution_tpu.runtime.train_loop import (
+                build_optimizer, init_train_state, make_sr_train_step)
+
+            topt = {"pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                    "ema_decay": 0.999, "use_amp": True,
+                    "optim_g": {"type": "Adam", "lr": 2e-4,
+                                "betas": [0.9, 0.99]},
+                    "scheduler": {"type": "MultiStepLR",
+                                  "milestones": [300000], "gamma": 0.5},
+                    "total_iter": 800000}
+            tx, _ = build_optimizer(topt, {})
+            tstep = jax.jit(make_sr_train_step(net, tx, topt))
+            tb = 4
+            trng = np.random.default_rng(3)
+            tbatch = {
+                "lq": jnp.asarray(trng.random((tb, 64, 64, 3)), jnp.float32),
+                "gt": jnp.asarray(trng.random((tb, 256, 256, 3)),
+                                  jnp.float32)}
+            # f32 masters (the AMP contract: bf16 compute only) — the
+            # inference copy above was cast to bf16
+            tstate = init_train_state(
+                cast_floating(params, jnp.float32), tx, topt["ema_decay"])
+            tstate, tlogs = tstep(tstate, tbatch, rng)
+            float(tlogs["l_pix"])
+
+            def one_step():
+                nonlocal tstate
+                tstate, logs = tstep(tstate, tbatch, rng)
+                float(logs["l_pix"])
+
+            tdt = _median_time(one_step)
+            train_fields = {
+                "train_amp_ms_per_step": round(tdt * 1e3, 1),
+                "train_amp_samples_s": round(tb / tdt, 2),
+                "train_amp_batch": tb,
+            }
+        except Exception as e:  # noqa: BLE001
+            train_fields = {"train_bench_error": repr(e)[:200]}
+
     # peak device memory (reference protocol reports peak alloc —
     # test_direct_metrics.py:99-101); axon hides it -> analytic estimate
     try:
@@ -295,6 +344,7 @@ def main():
         "urban100_shape_unit": "out_Mpix/s (176x256 LR, per-image regime)",
         "peak_device_mem_mb": peak_mb,
         "est_activation_mb": est,
+        **train_fields,
         **roofline,
         **parity,
     }))

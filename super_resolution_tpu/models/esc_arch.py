@@ -212,7 +212,10 @@ class WindowAttentionESC(nn.Module):
         bias = self.relative_position_bias[:, self._rpe_idx]   # (heads, N, N)
         from super_resolution_tpu.ops.attention import _pallas_attention_enabled
         pallas_on = self.use_pallas or _pallas_attention_enabled()
-        if pallas_on and ws % 8 == 0 and not self.is_initializing():
+        from super_resolution_tpu.ops.pallas_attention import \
+            msa_block_supported
+        if (pallas_on and ws % 8 == 0 and not self.is_initializing()
+                and msa_block_supported(ws, x.dtype)):
             # MSA block megakernel straight on the C-channel image: qkv
             # projection, windowing, head split, attention, reverse and the
             # output projection all in VMEM (the to_qkv/to_out 1x1 convs

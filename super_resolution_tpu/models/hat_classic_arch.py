@@ -227,8 +227,11 @@ class HABClassic(nn.Module):
                 mp.fc2.variables["params"]["kernel"],
                 mp.fc2.variables["params"]["bias"],
                 self.num_heads, ws, d ** -0.5, float(self.conv_scale))
+        from super_resolution_tpu.ops.pallas_attention import \
+            msa_block_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
-                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0):
+                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0
+                and msa_block_supported(ws, shifted.dtype)):
             # fused (S)W-MSA block megakernel: qkv projection, partition,
             # head-split, attention, reverse AND the output projection in
             # VMEM (ops/pallas_attention.py::fused_msa_block) — the qkv

@@ -58,8 +58,11 @@ class SwinTransformerBlock(nn.Module):
 
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            msa_block_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
-                and ws % 8 == 0 and h % ws == 0 and w % ws == 0):
+                and ws % 8 == 0 and h % ws == 0 and w % ws == 0
+                and msa_block_supported(ws, shifted.dtype)):
             # (S)W-MSA block megakernel incl. qkv/proj matmuls (shared with
             # classic HAT — ops/pallas_attention.py::fused_msa_block)
             from super_resolution_tpu.ops.pallas_attention import \

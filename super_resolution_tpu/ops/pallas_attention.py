@@ -868,6 +868,26 @@ def msa_block_reference(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask,
     return out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
 
 
+def msa_block_supported(window_size: int, dtype) -> bool:
+    """Scoped-VMEM bound for the fused MSA block route (interpret mode
+    enforces no limit; on-chip the Mosaic stack is ~16 MB/core).
+
+    Measured boundaries (scripts/bench_arb.py found the f32 one: LIIF's
+    ESC trunk at ws 32 / C 64 in f32 fails AOT compile with "scoped
+    allocation 18.00M > 16.00M"; the same shape in bf16 — the production
+    precision policy — compiles and wins the A/B in bench_esc.py):
+      - ws >= 48: the per-head f32 score/softmax pair alone is
+        2*(48^2)^2*4 = 42 MB — always falls back (ESC-XL's native ws);
+      - ws >= 32 in f32: measured 18 MB > 16 MB — falls back;
+      - everything else (ws <= 32 bf16, ws <= 16 any dtype) fits.
+    """
+    if window_size >= 48:
+        return False
+    import jax.numpy as _jnp
+
+    return not (window_size >= 32 and _jnp.dtype(dtype).itemsize >= 4)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_msa_block_ad(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask,
                        heads, window_size, scale):
