@@ -237,7 +237,10 @@ class WindowAttentionESC(nn.Module):
             qkv = self.to_qkv(x)                               # (B,Hp,Wp,3C)
             wins = window_partition(qkv, ws).reshape(-1, ws * ws, 3, c)
             wins = wins.transpose(2, 0, 1, 3)                  # (3, B*nW, N, C)
-            if pallas_on:
+            from super_resolution_tpu.ops.pallas_attention import \
+                attention_window_supported
+            if (pallas_on and not self.is_initializing()
+                    and attention_window_supported(ws * ws)):
                 from super_resolution_tpu.ops.pallas_attention import \
                     window_attention_fused
                 out = window_attention_fused(wins, self.num_heads, bias)

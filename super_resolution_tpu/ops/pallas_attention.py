@@ -868,6 +868,17 @@ def msa_block_reference(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask,
     return out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
 
 
+def attention_window_supported(nq: int, nk: int | None = None) -> bool:
+    """Scoped-VMEM bound for the attention-only window kernels
+    (fused_attention / window_attention_fused): the per-window f32
+    score/softmax pair plus the bias block must fit Mosaic's ~16 MB
+    stack. Measured (scripts/bench_esc.py ESC_XL=1): ws 32 (N=1024)
+    fits even in f32 (~12.6 MB); ws 48 (N=2304) needs 40.5 MB and
+    fails AOT compile."""
+    nk = nq if nk is None else nk
+    return 12 * nq * nk <= 14 * 2 ** 20
+
+
 def msa_block_supported(window_size: int, dtype) -> bool:
     """Scoped-VMEM bound for the fused MSA block route (interpret mode
     enforces no limit; on-chip the Mosaic stack is ~16 MB/core).

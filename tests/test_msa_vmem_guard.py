@@ -12,7 +12,8 @@ import numpy as np
 
 
 def test_supported_truth_table():
-    from super_resolution_tpu.ops.pallas_attention import msa_block_supported
+    from super_resolution_tpu.ops.pallas_attention import (
+        attention_window_supported, msa_block_supported)
 
     assert msa_block_supported(8, jnp.float32)
     assert msa_block_supported(16, jnp.float32)
@@ -21,6 +22,11 @@ def test_supported_truth_table():
     assert not msa_block_supported(32, jnp.float32)  # measured 18M > 16M
     assert not msa_block_supported(48, jnp.bfloat16)  # 42M f32 scores
     assert not msa_block_supported(48, jnp.float32)
+    # attention-only kernels (no qkv/proj matmuls): ws 32 fits even f32,
+    # ws 48 (ESC-XL) measured 40.5M > 16M
+    assert attention_window_supported(32 * 32)
+    assert attention_window_supported(16 * 16, 24 * 24)  # OCAB rect
+    assert not attention_window_supported(48 * 48)
 
 
 def test_f32_ws32_falls_back_and_matches(rng):
