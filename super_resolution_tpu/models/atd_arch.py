@@ -376,6 +376,8 @@ class ATD(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
+    # gradient checkpointing: remat per ATDB (same recipe as HAT)
+    use_checkpoint: bool = False
 
     def setup(self):
         import math
@@ -384,8 +386,9 @@ class ATD(nn.Module):
         self.conv_first = nn.Conv(self.embed_dim, (3, 3),
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbedNorm(self.patch_norm, name="patch_embed")
+        atdb_cls = nn.remat(ATDB) if self.use_checkpoint else ATDB
         self.layers = [
-            ATDB(dim=self.embed_dim, depth=self.depths[i],
+            atdb_cls(dim=self.embed_dim, depth=self.depths[i],
                  num_heads=self.num_heads[i], window_size=self.window_size,
                  category_size=self.category_size,
                  num_tokens=self.num_tokens, reducted_dim=self.reducted_dim,

@@ -330,6 +330,8 @@ class HiT_SRF(nn.Module):
     upsampler: str = "pixelshuffledirect"
     resi_connection: str = "1conv"
     hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8)
+    # gradient checkpointing: remat per RHTB (same recipe as HAT)
+    use_checkpoint: bool = False
 
     @property
     def _mlp_ratio(self) -> float:
@@ -343,8 +345,9 @@ class HiT_SRF(nn.Module):
         self.conv_first = nn.Conv(self.embed_dim, (3, 3),
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbedNorm(self.patch_norm, name="patch_embed")
+        rhtb_cls = nn.remat(RHTB) if self.use_checkpoint else RHTB
         self.layers = [
-            RHTB(dim=self.embed_dim, depth=self.depths[i],
+            rhtb_cls(dim=self.embed_dim, depth=self.depths[i],
                  num_heads=self.num_heads[i],
                  base_win_size=tuple(self.base_win_size),
                  mlp_ratio=self._mlp_ratio,

@@ -294,6 +294,8 @@ class SRFormer(nn.Module):
     img_range: float = 1.0
     upsampler: str = ""
     resi_connection: str = "1conv"
+    # gradient checkpointing: remat per PSAGroup (same recipe as HAT)
+    use_checkpoint: bool = False
 
     def setup(self):
         import math
@@ -303,10 +305,12 @@ class SRFormer(nn.Module):
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbedNorm(self.patch_norm, name="patch_embed")
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        group_cls = (nn.remat(PSAGroup, static_argnums=(2,))
+                     if self.use_checkpoint else PSAGroup)
         layers = []
         start = 0
         for i, depth in enumerate(self.depths):
-            layers.append(PSAGroup(dim=self.embed_dim, depth=depth,
+            layers.append(group_cls(dim=self.embed_dim, depth=depth,
                                    num_heads=self.num_heads[i],
                                    window_size=self.window_size,
                                    mlp_ratio=self.mlp_ratio,
@@ -347,7 +351,8 @@ class SRFormer(nn.Module):
     def features(self, x, deterministic: bool = True):
         x = self.patch_embed(x)
         for layer in self.layers:
-            x = layer(x, deterministic=deterministic)
+            # positional: static_argnums=(2,) on the remat-lifted group
+            x = layer(x, deterministic)
         return self.norm(x)
 
     def __call__(self, x, deterministic: bool = True):

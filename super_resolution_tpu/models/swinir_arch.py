@@ -192,6 +192,8 @@ class SwinIR(nn.Module):
     img_range: float = 1.0
     upsampler: str = ""
     resi_connection: str = "1conv"
+    # gradient checkpointing: remat per RSTB (same recipe as HAT)
+    use_checkpoint: bool = False
 
     def setup(self):
         import math
@@ -202,10 +204,12 @@ class SwinIR(nn.Module):
                                   padding=[(1, 1), (1, 1)], name="conv_first")
         self.patch_embed = PatchEmbedNorm(self.patch_norm, name="patch_embed")
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        rstb_cls = (nn.remat(RSTB, static_argnums=(2,))
+                    if self.use_checkpoint else RSTB)
         layers = []
         start = 0
         for i, depth in enumerate(self.depths):
-            layers.append(RSTB(dim=self.embed_dim, depth=depth,
+            layers.append(rstb_cls(dim=self.embed_dim, depth=depth,
                                num_heads=self.num_heads[i],
                                window_size=self.window_size,
                                mlp_ratio=self.mlp_ratio,
@@ -281,10 +285,23 @@ class SwinIR(nn.Module):
     def features(self, x, deterministic: bool = True):
         x = self.patch_embed(x)
         for layer in self.layers:
-            x = layer(x, deterministic=deterministic)
+            # positional: static_argnums=(2,) on the remat-lifted RSTB
+            x = layer(x, deterministic)
         return self.norm(x)
 
     def __call__(self, x, deterministic: bool = True):
+        # window-multiple reflect pad + final crop, inside the arch like
+        # the reference (check_image_size — esc_arb/models/swinir.py:790-795,
+        # crop at :846): SwinIR must run standalone under plain SRModel on
+        # arbitrary image sizes.
+        h, w = x.shape[1], x.shape[2]
+        ws = self.window_size
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect")
+
         if self.in_chans == 3:
             x = MeanShift.normalize(x, self.img_range)
         else:
@@ -317,5 +334,8 @@ class SwinIR(nn.Module):
             out = x + self.conv_last(res)
 
         if self.in_chans == 3:
-            return MeanShift.denormalize(out, self.img_range)
-        return out / self.img_range
+            out = MeanShift.denormalize(out, self.img_range)
+        else:
+            out = out / self.img_range
+        # reference crops with self.upscale regardless of upsampler (:846)
+        return out[:, :h * self.upscale, :w * self.upscale, :]

@@ -181,21 +181,29 @@ class PairPool:
         self.ptr = 0
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, lq: np.ndarray, gt: np.ndarray):
+    def __call__(self, lq, gt):
+        """Device-resident ring buffer (the reference keeps its queue on
+        GPU too — realhatgan_model.py:29-64). Accepts jnp or np arrays;
+        only the permutation indices come from the host RNG, so no
+        device->host round trip of the batch itself."""
+        lq, gt = jnp.asarray(lq), jnp.asarray(gt)
         b = lq.shape[0]
         if self.lq is None:
             assert self.queue_size % b == 0, (
                 f"queue size {self.queue_size} must be divisible by batch {b}")
-            self.lq = np.zeros((self.queue_size,) + lq.shape[1:], lq.dtype)
-            self.gt = np.zeros((self.queue_size,) + gt.shape[1:], gt.dtype)
+            self.lq = jnp.zeros((self.queue_size,) + lq.shape[1:], lq.dtype)
+            self.gt = jnp.zeros((self.queue_size,) + gt.shape[1:], gt.dtype)
         if self.ptr == self.queue_size:
-            perm = self.rng.permutation(self.queue_size)
+            perm = jnp.asarray(self.rng.permutation(self.queue_size))
             self.lq, self.gt = self.lq[perm], self.gt[perm]
-            out_lq, out_gt = self.lq[:b].copy(), self.gt[:b].copy()
-            self.lq[:b], self.gt[:b] = lq, gt
+            out_lq, out_gt = self.lq[:b], self.gt[:b]
+            self.lq = jax.lax.dynamic_update_slice_in_dim(self.lq, lq, 0, 0)
+            self.gt = jax.lax.dynamic_update_slice_in_dim(self.gt, gt, 0, 0)
             return out_lq, out_gt
-        self.lq[self.ptr:self.ptr + b] = lq
-        self.gt[self.ptr:self.ptr + b] = gt
+        self.lq = jax.lax.dynamic_update_slice_in_dim(self.lq, lq,
+                                                      self.ptr, 0)
+        self.gt = jax.lax.dynamic_update_slice_in_dim(self.gt, gt,
+                                                      self.ptr, 0)
         self.ptr += b
         return lq, gt
 
@@ -348,10 +356,8 @@ class RealHATGANModel(HATModel):
         if self.is_train and self.high_order and "kernel1" in data:
             lq, gt = self.synth(data["gt"], data["kernel1"], data["kernel2"],
                                 data["sinc_kernel"])
-            lq_np, gt_np = np.asarray(lq), np.asarray(gt)
-            lq_np, gt_np = self.pool(lq_np, gt_np)
-            self.lq = jnp.asarray(lq_np)
-            self.gt = jnp.asarray(gt_np)
+            # pool is device-resident: the batch never leaves the chip
+            self.lq, self.gt = self.pool(lq, gt)
             self.gt_usm = self.synth.sharpen(self.gt)
         else:
             self.lq = jnp.asarray(data["lq"])

@@ -80,6 +80,58 @@ def test_remat_same_tree_and_matching_gradients(arch, rng):
                                    rtol=1e-3, atol=2e-6)
 
 
+_OTHER = {
+    "swinir": ("SwinIR", dict(img_size=16, embed_dim=24, depths=(2,),
+                              num_heads=(2,), window_size=8, mlp_ratio=1.0,
+                              upscale=2, upsampler="pixelshuffledirect")),
+    "srformer": ("SRFormer", dict(img_size=16, embed_dim=32, depths=(2,),
+                                  num_heads=(2,), window_size=8,
+                                  mlp_ratio=1.0, upscale=2,
+                                  upsampler="pixelshuffledirect")),
+    "hitsrf": ("HiT_SRF", dict(img_size=16, embed_dim=20, depths=(3,),
+                               num_heads=(2,), base_win_size=(4, 4),
+                               mlp_ratio=1.0, upscale=2,
+                               upsampler="pixelshuffledirect",
+                               hier_win_ratios=(0.5, 1, 2))),
+    "atd": ("ATD", dict(img_size=16, embed_dim=24, depths=(2,),
+                        num_heads=(2,), window_size=8, category_size=1024,
+                        num_tokens=16, reducted_dim=6,
+                        convffn_kernel_size=5, mlp_ratio=1.0, upscale=2,
+                        upsampler="pixelshuffledirect")),
+}
+
+
+@pytest.mark.parametrize("arch", sorted(_OTHER))
+def test_remat_other_archs_same_tree_and_gradients(arch, rng):
+    """SwinIR/SRFormer/HiT-SRF/ATD carry the same per-group remat."""
+    from super_resolution_tpu.models import build_network
+
+    name, kw = _OTHER[arch]
+    net = build_network({"type": name, **kw})
+    netc = build_network({"type": name, "use_checkpoint": True, **kw})
+    assert netc.use_checkpoint is True
+    x0 = jnp.zeros((1, 16, 16, 3))
+    p = net.init(jax.random.PRNGKey(0), x0)["params"]
+    pc = netc.init(jax.random.PRNGKey(0), x0)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pc))
+
+    batch = _batch(rng)
+
+    def loss_of(n):
+        def f(params):
+            sr = n.apply({"params": params}, batch["lq"],
+                         rngs={"droppath": jax.random.PRNGKey(5)})
+            return jnp.abs(sr - batch["gt"]).mean()
+        return jax.jit(jax.value_and_grad(f))
+
+    (l0, g0), (l1, g1) = loss_of(net)(p), loss_of(netc)(p)
+    assert float(l0) == pytest.approx(float(l1), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-6)
+
+
 def test_build_network_honors_use_checkpoint():
     """Configs carry use_checkpoint (e.g. HAT ImageNet pretrain ymls);
     build_network must map it onto archs that implement it and drop it for
@@ -89,11 +141,12 @@ def test_build_network_honors_use_checkpoint():
     net = build_network({"type": "HAT", "use_checkpoint": True,
                          **{k: v for k, v in TINY.items()}, "esc_pdim": 8})
     assert net.use_checkpoint is True
-    # SwinIR has no use_checkpoint field -> silently dropped, builds fine
-    net2 = build_network({"type": "SwinIR", "use_checkpoint": True,
-                          "img_size": 16, "embed_dim": 24, "depths": [2],
-                          "num_heads": [2], "window_size": 4, "upscale": 2,
-                          "upsampler": "pixelshuffle"})
+    # ESC has no use_checkpoint field -> silently dropped, builds fine
+    net2 = build_network({"type": "ESC", "use_checkpoint": True,
+                          "dim": 16, "pdim": 8, "kernel_size": 5,
+                          "n_blocks": 1, "conv_blocks": 1, "window_size": 8,
+                          "num_heads": 2, "upscaling_factor": 2,
+                          "exp_ratio": 1.0})
     assert not hasattr(net2, "use_checkpoint")
 
 
