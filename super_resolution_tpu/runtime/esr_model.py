@@ -156,7 +156,7 @@ class ESRModel(HATModel):
         self.params = self.state.params
         if self.ema_decay > 0:
             self.ema_params = self.state.ema_params
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        self.log_dict = dict(logs)  # device arrays; get_current_log syncs
         if not use_mesa and self.cri_mesa is not None:
             self.log_dict["l_mesa"] = 0.0
 

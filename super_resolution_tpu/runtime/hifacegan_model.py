@@ -161,4 +161,4 @@ class HiFaceGANModel(SRModel):
         self.params_d, self.opt_state_d, d_logs = self._d_step(
             self.params_d, self.opt_state_d, self.lq, sr, self.gt)
         logs.update(d_logs)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        self.log_dict = logs  # device arrays; get_current_log syncs

@@ -394,7 +394,7 @@ class RealHATGANModel(HATModel):
                 self._d_step(self.params_d, self.opt_state_d, self.sn_stats,
                              sr, gan_gt)
             logs.update(d_logs)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        self.log_dict = logs  # device arrays; get_current_log syncs
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         # no degradation synthesis during validation (ref: :185-189)
@@ -578,4 +578,4 @@ def gan_optimize_step(model, batch, current_iter: int):
     model.params_d, model.opt_state_d, model.sn_stats, d_logs = model._d_step(
         model.params_d, model.opt_state_d, model.sn_stats, sr, model.gt)
     logs.update(d_logs)
-    model.log_dict = {k: float(v) for k, v in logs.items()}
+    model.log_dict = logs  # device arrays; get_current_log syncs

@@ -205,7 +205,7 @@ class SRModel:
         self.params = self.state.params
         if self.ema_decay > 0:
             self.ema_params = self.state.ema_params
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        self.log_dict = logs  # device arrays; get_current_log syncs
 
     def current_lrs(self, current_iter: int):
         return [float(self.lr_schedule(current_iter))]
@@ -250,7 +250,11 @@ class SRModel:
         return int(tree["epoch"]), int(tree["iter"])
 
     def get_current_log(self):
-        return dict(self.log_dict)
+        # per-step logs stay on device (async); the reference's torch loop
+        # likewise only materializes losses at print time. One device_get
+        # here instead of a blocking float() per scalar per step — over the
+        # axon tunnel each of those syncs costs ~ms.
+        return {k: float(v) for k, v in jax.device_get(self.log_dict).items()}
 
     # ------------------------------------------------------------ validation
     def get_current_visuals(self) -> dict:

@@ -236,13 +236,14 @@ class StyleGAN2Model:
         self.ema_params = jax.tree.map(
             lambda e, p: e * self.ema_decay + p * (1 - self.ema_decay),
             self.ema_params, self.params)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        self.log_dict = logs  # device arrays; get_current_log syncs
 
     def current_lrs(self, current_iter):
         return [float(self.opt["train"]["optim_g"]["lr"])]
 
     def get_current_log(self):
-        return dict(self.log_dict)
+        # one device_get at print time, not a float() sync per step
+        return {k: float(v) for k, v in jax.device_get(self.log_dict).items()}
 
     # ----------------------------------------------------------------- eval
     def test(self):
