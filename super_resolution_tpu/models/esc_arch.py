@@ -235,10 +235,28 @@ class WindowAttentionESC(nn.Module):
             return out[:, :h, :w, :]
         else:
             qkv = self.to_qkv(x)                               # (B,Hp,Wp,3C)
+            from super_resolution_tpu.ops.pallas_attention import (
+                attention_window_supported, msa_qtile_supported,
+                qtile_route_enabled)
+            if (pallas_on and qtile_route_enabled()
+                    and not self.is_initializing() and ws % 8 == 0
+                    and hp % ws == 0 and wp % ws == 0
+                    and not attention_window_supported(ws * ws)
+                    and msa_qtile_supported(ws, c, self.num_heads)):
+                # large-window route (ESC-XL's native ws 48): whole-window
+                # kernels exceed scoped VMEM, so tile the query dim — each
+                # program softmaxes Tq exact rows against the full key
+                # range (k/v of one window are only N x d). OPT-IN ONLY:
+                # measured slower than slabbed XLA at ESC-XL's d=16 (see
+                # qtile_route_enabled for the data)
+                from super_resolution_tpu.ops.pallas_attention import \
+                    msa_qtile_attention_ad
+                out = msa_qtile_attention_ad(
+                    qkv, bias.astype(jnp.float32), self.num_heads, ws,
+                    (c // self.num_heads) ** -0.5)
+                return self.to_out(out[:, :h, :w, :])
             wins = window_partition(qkv, ws).reshape(-1, ws * ws, 3, c)
             wins = wins.transpose(2, 0, 1, 3)                  # (3, B*nW, N, C)
-            from super_resolution_tpu.ops.pallas_attention import \
-                attention_window_supported
             if (pallas_on and not self.is_initializing()
                     and attention_window_supported(ws * ws)):
                 from super_resolution_tpu.ops.pallas_attention import \

@@ -1498,3 +1498,196 @@ def _hab_block_ad_bwd(heads, window_size, scale, conv_scale, res, g):
 
 
 fused_hab_block_ad.defvjp(_hab_block_ad_fwd, _hab_block_ad_bwd)
+
+
+# --------------------------------------------------------------------------
+# Q-tiled window MSA for LARGE windows (ESC-XL's native ws 48, and any
+# f32 shape the whole-window kernels can't hold).
+#
+# The whole-window kernels above keep the full (N, N) f32 score/softmax
+# pair in VMEM, which dies at N = 48^2 = 2304 (2 * N^2 * 4 = 42 MB vs the
+# ~16 MB Mosaic stack). But K and V for a whole window are tiny
+# (N x d ~ 150 KB at ESC-XL's d = 16), so no flash-style online softmax
+# is needed either: tile the QUERY dim instead. Each program owns Tq
+# query rows of one (window, head), sees the full key range, and computes
+# an exact row softmax — no accumulators, no multi-pass, no scratch.
+# VMEM per program is 2 * 4 * Tq * N (score + bias slab) + O(N*d).
+#
+# Layout: q/k/v are pre-split per head OUTSIDE the kernel into
+# (heads, B, H, W, d) so the kernel never slices the lane dim dynamically
+# (d = C/heads is 16 at ESC-XL — a dynamic lane-offset slice would not
+# lower). The two transposes cost one qkv-sized HBM round trip, ~2% of
+# the bias traffic this kernel streams anyway.
+#
+# Replaces: the slabbed-XLA fallback for ESC-XL (ref dep:
+# hat/archs/esc_arch.py:234-240 FlexAttention at window_size 48).
+# --------------------------------------------------------------------------
+
+
+def _msa_qtile_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    tq = q_ref.shape[2] * q_ref.shape[3]
+    n = k_ref.shape[2] * k_ref.shape[3]
+    d = q_ref.shape[-1]
+    q = q_ref[0, 0].reshape(tq, d)
+    k = k_ref[0, 0].reshape(n, d)
+    v = v_ref[0, 0].reshape(n, d)
+    s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[0].astype(jnp.float32)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(q.dtype), v,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.reshape(q_ref.shape[2], q_ref.shape[3], d).astype(
+        o_ref.dtype)
+
+
+def _qtile_rows(window_size: int, budget_bytes: int = 12 * 2 ** 20) -> int:
+    """Largest per-program query-row count ts (ts | ws) such that the
+    THREE f32 (ts*ws, ws^2) slabs (score, softmax, bias block) plus ~2 MB
+    of q/k/v tiles fit the VMEM budget. Calibrated against a measured
+    point: ws 48 / ts 12 allocates 17.87 M on v5e (Mosaic AOT), i.e.
+    ~15.9 M of slabs + ~2 M fixed."""
+    n = window_size * window_size
+    best = 0
+    for ts in range(1, window_size + 1):
+        if window_size % ts:
+            continue
+        if 12 * (ts * window_size) * n + 2 * 2 ** 20 <= budget_bytes:
+            best = ts
+    return best
+
+
+def msa_qtile_supported(window_size: int, dim: int, heads: int) -> bool:
+    """True when the q-tiled kernel can run this shape: d = dim/heads must
+    be a multiple of 8 (sublane-aligned head layout) and at least one
+    query-row tiling must fit VMEM."""
+    if dim % heads:
+        return False
+    d = dim // heads
+    return d % 8 == 0 and _qtile_rows(window_size) >= 1
+
+
+def qtile_route_enabled() -> bool:
+    """Opt-in gate (SR_TPU_QTILE=1) — measured SLOWER than slabbed XLA
+    on the target shape, kept as a negative result with its data.
+
+    ESC-XL (240x288, ws 48, 12 heads, d=16, bf16, v5e): XLA 3.37
+    out-Mpix/s; q-tile kernel 2.36 with windows outermost (the 255 MB
+    f32 bias re-streams per window, 7.6 GB total), 2.49 with windows
+    innermost (bias streamed once). The residual gap is MXU shape, not
+    traffic: every head contraction is K=d=16 (<=12.5% MXU), and XLA's
+    slab einsums run that starved matmul at M=2304 across batched
+    windows while the kernel runs 2880 M<=576 programs per call. A
+    kernel can't fix K; it only helps when layout traffic dominates,
+    which at d=16 it does not."""
+    import os
+
+    return os.environ.get("SR_TPU_QTILE") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "scale", "interpret"))
+def msa_qtile_attention(qkv_img, bias, *, heads: int, window_size: int,
+                        scale: float | None = None,
+                        interpret: bool | None = None):
+    """Unshifted window MSA on images with query-dim tiling.
+
+    Args:
+      qkv_img: (B, H, W, 3C); H, W multiples of window_size.
+      bias: (heads, N, N) f32 relative position bias, N = ws^2.
+    Returns:
+      (B, H, W, C) attention output (pre out-projection), image layout.
+    """
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    ws = window_size
+    d = c // heads
+    n = ws * ws
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ts = _qtile_rows(ws)
+    nq = ws // ts
+    nwy, nwx = h_img // ws, w_img // ws
+
+    # per-head planes: (heads, B, H, W, d)
+    qkv = qkv_img.reshape(b, h_img, w_img, 3, heads, d)
+    q_hd = qkv[:, :, :, 0].transpose(3, 0, 1, 2, 4)
+    k_hd = qkv[:, :, :, 1].transpose(3, 0, 1, 2, 4)
+    v_hd = qkv[:, :, :, 2].transpose(3, 0, 1, 2, 4)
+
+    # Grid order matters: windows are INNERMOST so the (ts*ws, N) f32
+    # bias tile — by far the largest stream, heads*N^2*4 = 255 MB at
+    # ESC-XL scale — stays block-resident across every window and is
+    # fetched exactly once overall. With windows outer / q-tiles inner
+    # (the first attempt), the bias was re-streamed per window: 7.6 GB
+    # of HBM traffic on a 240x288 ESC-XL input, and the kernel LOST to
+    # XLA 2.36 vs 3.37 out-Mpix/s. K/V re-fetch per q-tile costs only
+    # ~8 x the qkv plane (~0.4 GB) in exchange.
+    grid = (b, heads, nq, nwy, nwx)
+    out = pl.pallas_call(
+        functools.partial(_msa_qtile_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, ts, ws, d),
+                         lambda bb, h, jq, i, j, _nq=nq:
+                         (h, bb, i * _nq + jq, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ws, ws, d),
+                         lambda bb, h, jq, i, j: (h, bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ws, ws, d),
+                         lambda bb, h, jq, i, j: (h, bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts * ws, n),
+                         lambda bb, h, jq, i, j: (h, jq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ts, ws, d),
+                               lambda bb, h, jq, i, j, _nq=nq:
+                               (h, bb, i * _nq + jq, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((heads, b, h_img, w_img, d),
+                                       qkv_img.dtype),
+        interpret=interpret,
+    )(q_hd, k_hd, v_hd, bias)
+    # (heads, B, H, W, d) -> (B, H, W, C)
+    return out.transpose(1, 2, 3, 0, 4).reshape(b, h_img, w_img, c)
+
+
+def msa_qtile_reference(qkv_img, bias, heads: int, window_size: int,
+                        scale: float):
+    """XLA oracle/backward: unshifted MSA == the generic kernel with a
+    zero shift mask."""
+    n = window_size * window_size
+    mask = jnp.zeros((1, n, n), jnp.float32)
+    return msa_attention_reference(qkv_img, bias, mask, heads, window_size,
+                                   scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def msa_qtile_attention_ad(qkv_img, bias, heads, window_size, scale):
+    """Q-tiled forward, XLA backward."""
+    return msa_qtile_attention(qkv_img, bias, heads=heads,
+                               window_size=window_size, scale=scale)
+
+
+def _msa_qtile_ad_fwd(qkv_img, bias, heads, window_size, scale):
+    out = msa_qtile_attention(qkv_img, bias, heads=heads,
+                              window_size=window_size, scale=scale)
+    return out, (qkv_img, bias)
+
+
+def _msa_qtile_ad_bwd(heads, window_size, scale, res, g):
+    qkv_img, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b_: msa_qtile_reference(a, b_, heads, window_size, scale),
+        qkv_img, bias)
+    return vjp(g.astype(qkv_img.dtype))
+
+
+msa_qtile_attention_ad.defvjp(_msa_qtile_ad_fwd, _msa_qtile_ad_bwd)

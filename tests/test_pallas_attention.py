@@ -377,3 +377,63 @@ def test_fused_hab_block_matches_reference(rng):
         argnums=(0, 1, 2))(*args)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_msa_qtile_matches_reference_and_grad(rng):
+    """Q-tiled large-window MSA (the ESC-XL ws-48 route): forward parity
+    with the XLA window path and XLA-backward through the _ad wrapper.
+    Uses a small ws with a forced tiny tile budget so the q dim really
+    splits into multiple programs."""
+    from super_resolution_tpu.ops import pallas_attention as pa
+
+    heads, c, ws = 2, 32, 32
+    n = ws * ws
+    # at ws 32 the default VMEM budget splits each window into >1 q tile,
+    # so the multi-program grid path is really exercised
+    assert 1 <= pa._qtile_rows(ws) < ws
+    qkv = jnp.asarray(rng.standard_normal((1, 32, 64, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.02, jnp.float32)
+    scale = (c // heads) ** -0.5
+
+    ref = np.asarray(pa.msa_qtile_reference(qkv, bias, heads, ws, scale))
+    got = np.asarray(pa.msa_qtile_attention(qkv, bias, heads=heads,
+                                            window_size=ws, scale=scale))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+    gf = jax.grad(lambda a, b_: jnp.sum(
+        pa.msa_qtile_attention_ad(a, b_, heads, ws, scale) ** 2))(qkv, bias)
+    gr = jax.grad(lambda a, b_: jnp.sum(
+        pa.msa_qtile_reference(a, b_, heads, ws, scale) ** 2))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4)
+
+
+def test_esc_large_window_routes_qtile(rng, monkeypatch):
+    """An ESC attention module at a window too big for the whole-window
+    kernels must route through the q-tiled kernel and match the XLA path."""
+    from super_resolution_tpu.models.esc_arch import WindowAttentionESC
+    from super_resolution_tpu.ops import pallas_attention as pa
+
+    calls = {}
+    orig = pa.msa_qtile_attention
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pa, "msa_qtile_attention", spy)
+    # make every whole-window route unsupported at this ws, and opt in
+    # to the (off-by-default) q-tile route
+    monkeypatch.setattr(pa, "msa_block_supported", lambda *_: False)
+    monkeypatch.setattr(pa, "attention_window_supported", lambda *_: False)
+    monkeypatch.setattr(pa, "qtile_route_enabled", lambda: True)
+
+    m_p = WindowAttentionESC(dim=32, window_size=8, num_heads=2,
+                             use_pallas=True)
+    m_x = WindowAttentionESC(dim=32, window_size=8, num_heads=2,
+                             use_pallas=False)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    params = m_x.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m_x.apply({"params": params}, x))
+    got = np.asarray(m_p.apply({"params": params}, x))
+    assert calls.get("hit"), "q-tile kernel was not routed"
+    np.testing.assert_allclose(got, ref, atol=3e-5)
