@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -312,6 +313,30 @@ def main():
         except Exception as e:  # noqa: BLE001
             train_fields = {"train_bench_error": repr(e)[:200]}
 
+    # ------------------------------------------- GAN training throughput
+    # The full Real-HAT-GAN step (on-device 2nd-order degradation synth,
+    # device-resident pair pool, G step w/ L1+vanilla GAN vs SN-UNet D,
+    # D step, EMA) at the reference recipe shapes (GT 256 x4, batch 4) —
+    # realhatgan_model.py feed_data+optimize_parameters. Same warm/timed
+    # reseeded-sequence protocol as scripts/bench_gan.py (the degradation
+    # chain jits one program per resize combo; a real run warms them all
+    # in minutes). Guarded like the train leg.
+    gan_fields = {}
+    if arch == "classic" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import bench_gan
+
+            gms, gsps = bench_gan.measure(reps=4)
+            gan_fields = {
+                "gan_train_ms_per_step": round(gms, 1),
+                "gan_train_samples_s": round(gsps, 2),
+                "gan_train_batch": 4,
+            }
+        except Exception as e:  # noqa: BLE001
+            gan_fields = {"gan_bench_error": repr(e)[:200]}
+
     # peak device memory (reference protocol reports peak alloc —
     # test_direct_metrics.py:99-101); axon hides it -> analytic estimate
     try:
@@ -345,6 +370,7 @@ def main():
         "peak_device_mem_mb": peak_mb,
         "est_activation_mb": est,
         **train_fields,
+        **gan_fields,
         **roofline,
         **parity,
     }))

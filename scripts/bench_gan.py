@@ -16,11 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from super_resolution_tpu.runtime import build_model
-from super_resolution_tpu.utils.options import process_options
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # already set by a caller (bench.py imports measure())
+    pass
 
 scale, gt = 4, 256
 batch = int(os.environ.get("BENCH_GAN_BATCH", 4))
@@ -66,39 +66,48 @@ opt = {
     },
     "path": {"pretrain_network_g": None},
 }
-import tempfile
+def measure(reps: int = 8):
+    """Build the model, warm the per-combo degradation programs on one
+    random sequence, then time the SAME reseeded sequence. Returns
+    (ms_per_step, samples_per_s)."""
+    import tempfile
 
-opt = process_options(opt, tempfile.mkdtemp(), is_train=True)
-model = build_model(opt)
-model.setup_training()
+    from super_resolution_tpu.runtime import build_model
+    from super_resolution_tpu.utils.options import process_options
 
-rng = np.random.default_rng(0)
-gt_img = rng.random((batch, gt, gt, 3), dtype=np.float32)
-k = rng.random((batch, 21, 21), dtype=np.float32)
-k /= k.sum(axis=(1, 2), keepdims=True)
-data = {"gt": gt_img, "kernel1": k, "kernel2": k, "sinc_kernel": k}
+    o = process_options(dict(opt), tempfile.mkdtemp(), is_train=True)
+    model = build_model(o)
+    model.setup_training()
 
-# The degradation chain jits one program per (resize-size, mode, branch)
-# combo (static shapes); a real 800k-iter run warms every combo in its
-# first minutes. To measure the steady-state step, warm and time the
-# SAME random sequence: reset the synthesizer's RNGs between passes.
-reps = 8
+    rng = np.random.default_rng(0)
+    gt_img = rng.random((batch, gt, gt, 3), dtype=np.float32)
+    k = rng.random((batch, 21, 21), dtype=np.float32)
+    k /= k.sum(axis=(1, 2), keepdims=True)
+    data = {"gt": gt_img, "kernel1": k, "kernel2": k, "sinc_kernel": k}
+
+    # The degradation chain jits one program per (resize-size, mode,
+    # branch) combo (static shapes); a real 800k-iter run warms every
+    # combo in its first minutes. To measure the steady-state step, warm
+    # and time the SAME random sequence: reset the synth RNGs between
+    # passes.
+    def reseed():
+        model.synth.rng = np.random.default_rng(99)
+        model.synth.key = jax.random.PRNGKey(99)
+
+    reseed()
+    for it in range(1, 1 + reps):                  # compile pass
+        model.optimize_parameters(data, it)
+    _ = model.get_current_log()
+    reseed()
+    t0 = time.perf_counter()
+    for it in range(1, 1 + reps):
+        model.optimize_parameters(data, it)
+    _ = {k2: float(v) for k2, v in model.get_current_log().items()}
+    dt = (time.perf_counter() - t0) / reps
+    return dt * 1e3, batch / dt
 
 
-def reseed():
-    model.synth.rng = np.random.default_rng(99)
-    model.synth.key = jax.random.PRNGKey(99)
-
-
-reseed()
-for it in range(1, 1 + reps):                  # compile pass
-    model.optimize_parameters(data, it)
-_ = model.get_current_log()
-reseed()
-t0 = time.perf_counter()
-for it in range(1, 1 + reps):
-    model.optimize_parameters(data, it)
-_ = {k2: float(v) for k2, v in model.get_current_log().items()}
-dt = (time.perf_counter() - t0) / reps
-print(f"RealHATGAN step (deg+G+D+EMA, GT {gt} x{scale}, batch {batch}): "
-      f"{dt*1e3:.1f} ms/step -> {batch/dt:.2f} samples/s")
+if __name__ == "__main__":
+    ms, sps = measure()
+    print(f"RealHATGAN step (deg+G+D+EMA, GT {gt} x{scale}, batch {batch}): "
+          f"{ms:.1f} ms/step -> {sps:.2f} samples/s")
