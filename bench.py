@@ -83,6 +83,16 @@ def _activation_estimate_mb(chunk, t_y, t_x, c_embed, scale, dtype_bytes=2):
     }
 
 
+_T0 = time.time()
+
+
+def _progress(msg):
+    """Stage stamps on stderr (the driver parses the one stdout JSON line);
+    compiles over the axon tunnel are minutes each — make them visible."""
+    print(f"[bench {time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import jax
 
@@ -143,6 +153,7 @@ def main():
                            scale, tile_size, tile_pad, chunk=chunk)
         return jnp.mean(out)
 
+    _progress(f"HD leg compile+run ({arch}, tile {tile_size}/pad {tile_pad})")
     x = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)),
                     jnp.float32)
     # warmup / compile (block by fetching the scalar: block_until_ready is
@@ -157,6 +168,7 @@ def main():
     # a secondary field — the headline stays at the reference example's
     # pad 32. r3 measured: 8.82 vs 7.76 out-Mpix/s.
     pad16 = None
+    _progress("HD pad16 leg")
     if os.environ.get("BENCH_HD_PAD16", "1") == "1":
         @jax.jit
         def run16(params, img):
@@ -168,12 +180,41 @@ def main():
         dt16 = _median_time(lambda: float(run16(params, x)))
         pad16 = round(h * scale * w * scale / 1e6 / dt16, 3)
 
+    # ------------------------------------------- optional FHD / 4K legs
+    # The reference's direct-metrics protocol measures HD, FHD and 4K
+    # inputs (test_direct_metrics.py:43-105 / esc_arch.py:394-434). The
+    # HD leg above is the headline; these mirror the other two protocol
+    # sizes through the same tile engine. Off by default: each distinct
+    # input height changes the band plan's compiled shape, and compiles
+    # over the axon tunnel cost minutes of driver-bench time.
+    extra_legs = {}
+    for flag, name, (eh, ew) in (("BENCH_FHD", "fhd_value", (1080, 1920)),
+                                 ("BENCH_4K", "uhd4k_value", (2160, 3840))):
+        if os.environ.get(flag) != "1":
+            continue
+        # full-height bands at the same 160-col width; chunk scales with
+        # the band count (eh/1080 rows -> 12 bands of 1920/160 etc.)
+        eplan = (eh, 160)
+
+        @jax.jit
+        def run_e(params, img, _plan=eplan):
+            out = tile_forward(lambda t: apply_fn(params, t), img,
+                               scale, _plan, tile_pad, chunk=chunk)
+            return jnp.mean(out)
+
+        xe = jnp.asarray(np.random.default_rng(7).random((1, eh, ew, 3)),
+                         jnp.float32)
+        float(run_e(params, xe))
+        dte = _median_time(lambda: float(run_e(params, xe)))
+        extra_legs[name] = round(eh * scale * ew * scale / 1e6 / dte, 3)
+
     # ------------------------------- Urban100-shape BATCHED leg (north star)
     # 16 LRs at the representative Urban100 LR shape (GTs ~1024x680,
     # mod-cropped /4 -> 176x256 after window rounding) through the
     # production bucketed cross-image pipeline: whole-image tiles, 8 per
     # compiled step (runtime/batched_eval.py::_get_program — the exact
     # program val.bucketed_eval runs; host gather excluded, paste included).
+    _progress("urban batched leg")
     from super_resolution_tpu.runtime.batched_eval import _get_program
 
     uh, uw = 176, 256
@@ -197,6 +238,7 @@ def main():
     # --------------------------------------- Urban100-shape per-image leg
     # whole-image single tile — the band plan would split 176x256 into two
     # 50%-overlapping tiles (a bench artifact, not a regime property)
+    _progress("urban per-image leg")
     @jax.jit
     def run_whole(params, img):
         out = tile_forward(lambda t: apply_fn(params, t), img,
@@ -212,6 +254,7 @@ def main():
     # ------------------------------------------------- compiled-kernel parity
     # production bf16+Pallas vs f32 pure-XLA on this backend, both archs
     # (the CPU suite only exercises interpret mode — verdict r2 item 6)
+    _progress("kernel parity checks")
     from super_resolution_tpu.utils.kernel_parity import kernel_parity
 
     parity = {}
@@ -228,6 +271,7 @@ def main():
     # bf16-matmul TFLOP/s and 141-175 GB/s HBM vs the 197/819 nameplate),
     # so MFU claims against datasheet numbers are meaningless here.
     # Carried-dependency fori loops — XLA cannot hoist the body.
+    _progress("roofline")
     roofline = {}
     if os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
         nmat, loops = 4096, 10
@@ -271,6 +315,7 @@ def main():
     # remat memory boundaries: scripts/bench_train.py / README "Training
     # performance". Guarded: a train-side failure must not sink the
     # inference headline.
+    _progress("train step leg")
     train_fields = {}
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
@@ -321,6 +366,7 @@ def main():
     # reseeded-sequence protocol as scripts/bench_gan.py (the degradation
     # chain jits one program per resize combo; a real run warms them all
     # in minutes). Guarded like the train leg.
+    _progress("GAN step leg")
     gan_fields = {}
     if arch == "classic" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
@@ -353,6 +399,7 @@ def main():
     est["params_mb"] = round(sum(
         np.asarray(a).nbytes for a in jax.tree.leaves(params)) / 2 ** 20)
 
+    _progress("done; emitting JSON")
     print(json.dumps({
         "metric": f"HAT-base-{arch} x4 tiled inference throughput "
                   f"(HD input, tile {tile_size}/pad {tile_pad}, "
@@ -361,6 +408,7 @@ def main():
         "unit": "out_Mpix/s",
         "vs_baseline": round(value / BASELINE_LOCAL_OUT_MPIX_S, 2),
         "hd_pad16_value": pad16,
+        **extra_legs,
         "urban100_batched_value": round(bvalue, 3),
         "urban100_batched_unit": f"out_Mpix/s ({g}x 176x256 LR, "
                                  f"bucketed batch {uchunk} — the north-star "

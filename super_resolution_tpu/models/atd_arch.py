@@ -254,8 +254,11 @@ class ATDTransformerLayer(nn.Module):
             shifted_qkv, mask = qkv, None
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            attention_window_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
-                and ws % 8 == 0 and h % ws == 0 and w % ws == 0):
+                and ws % 8 == 0 and h % ws == 0 and w % ws == 0
+                and attention_window_supported(ws * ws)):
             # (S)W-MSA megakernel on the shared qkv image (the qkv stays
             # materialized because AC-MSA consumes it too; windowing,
             # head split, attention and reverse still fold into VMEM —

@@ -350,7 +350,7 @@ class OCAB(nn.Module):
             ocab_attention_supported
         fused_route = (_pallas_attention_enabled()
                        and not self.is_initializing()
-                       and ocab_attention_supported(ws, ow)
+                       and ocab_attention_supported(ws, ow, self.num_heads)
                        and h % ws == 0 and w % ws == 0)
         if fused_route and not self.esc_enable:
             # full OCAB block megakernel: LN1 + q/kv projections +

@@ -326,7 +326,7 @@ class OCABClassic(nn.Module):
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
-                and ocab_attention_supported(ws, ow)
+                and ocab_attention_supported(ws, ow, self.num_heads)
                 and h % ws == 0 and w % ws == 0):
             # OCAB block megakernel: LN1, q/kv projections (kv recomputed
             # per overlap window instead of round-tripping a 2C image),

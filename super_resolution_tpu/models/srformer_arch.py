@@ -178,8 +178,12 @@ class PSABlock(nn.Module):
 
         from super_resolution_tpu.ops.attention import \
             _pallas_attention_enabled
+        from super_resolution_tpu.ops.pallas_attention import \
+            bias_attention_supported
         if (_pallas_attention_enabled() and not self.is_initializing()
-                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0):
+                and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0
+                and bias_attention_supported(ws * ws, (ws // 2) ** 2,
+                                             self.num_heads)):
             # fused PSA block megakernel: q projection, partition,
             # rectangular attention vs the 4x-compressed KV, and the output
             # projection in VMEM (ops/pallas_attention.py::fused_psa_block).

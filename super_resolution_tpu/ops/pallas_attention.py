@@ -33,11 +33,16 @@ runs in interpreter mode (slow, tests only).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# windows per fused_msa_block program (experiments only; wb=1 measured
+# fastest on v5e — see README). Read once here so the knob is deterministic.
+_DEFAULT_MSA_WB = int(os.environ.get("SR_MSA_WB", "1"))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
@@ -226,10 +231,27 @@ def _ocab_kernel(q_ref, kv_ref, bias_ref, o_ref, *, heads: int, ws: int,
     o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
 
 
-def ocab_attention_supported(window_size: int, overlap_win: int) -> bool:
+def bias_attention_supported(nq: int, nk: int, heads: int) -> bool:
+    """Scoped-VMEM bound for the kernels that hold the full
+    (heads, nq, nk) f32 bias block plus a per-head f32 score/softmax pair
+    resident per program (OCAB / PSA routes). Mosaic's scoped stack is
+    ~16 MB/core on v5e; bound analytically so oversized windows fall back
+    to the XLA path instead of failing AOT compile (same boundary class
+    msa_block_supported pins for the square kernels)."""
+    return (heads * 4 + 8) * nq * nk <= 14 * 2 ** 20
+
+
+def ocab_attention_supported(window_size: int, overlap_win: int,
+                             heads: int = 6) -> bool:
     """Mosaic needs the Element-indexed kv block's sublane dim (ow)
-    divisible by 8; ws must divide the image (caller pads)."""
-    return overlap_win % 8 == 0 and window_size % 8 == 0
+    divisible by 8; ws must divide the image (caller pads). Both OCAB
+    kernels also hold the full (heads, ws^2, ow^2) f32 bias block in
+    scoped VMEM — e.g. ws 32 / ow 48 (bias alone 54 MB at 6 heads) must
+    fall back to the XLA path."""
+    if overlap_win % 8 or window_size % 8:
+        return False
+    return bias_attention_supported(window_size ** 2, overlap_win ** 2,
+                                    heads)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
@@ -813,12 +835,9 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
     n = ws * ws
     masked = mask.shape[0] != 1
     # wb adjacent windows per program (amortizes the qkv/proj matmuls);
-    # 0 = default from SR_MSA_WB (1 unless overridden — experiments only)
-    wb = window_block
-    if wb == 0:
-        import os
-
-        wb = int(os.environ.get("SR_MSA_WB", "1"))
+    # 0 = default from SR_MSA_WB, read once at import (an in-trace read
+    # would be silently baked into the first compiled program)
+    wb = window_block if window_block else _DEFAULT_MSA_WB
     while wb > 1 and nwx % wb:
         wb -= 1
     b_qkv2 = b_qkv.reshape(1, 3 * c)

@@ -35,16 +35,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _plan(dim: int, tile_size: int, tile_pad: int):
-    """Inward-shifted window plan per axis (same math as
-    runtime/tile.py::_axis_plan)."""
-    n = max(1, -(-dim // tile_size))
-    t = min(tile_size + 2 * tile_pad, dim)
-    cs = min(tile_size, dim)
-    pos = np.minimum(np.arange(n) * tile_size, max(dim - cs, 0))
-    starts = np.clip(pos - tile_pad, 0, dim - t)
-    offsets = pos - starts
-    return n, t, cs, starts, offsets, pos
+# the bit-identical contract with the per-image engine requires the SAME
+# planner, not a copy of its math
+from super_resolution_tpu.runtime.tile import _axis_plan as _plan
 
 
 def _pair(v):
@@ -125,8 +118,9 @@ def _get_program(apply_fn, scale, t_y, t_x, cs_y, cs_x, chunk, mesh):
 
         return jax.lax.fori_loop(0, out.shape[0], paste, canvas)
 
-    # keep apply_fn alive so its id() cannot be recycled onto this key
-    _PROGRAM_CACHE[key] = (run, apply_fn)
+    # keep apply_fn AND mesh alive so neither id() can be recycled onto
+    # this key by a later, different object
+    _PROGRAM_CACHE[key] = (run, apply_fn, mesh)
     return run
 
 

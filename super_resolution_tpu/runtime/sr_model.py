@@ -333,6 +333,45 @@ class SRModel:
         """Hook for subclasses (padding / tiling)."""
         self.test()
 
+    def _validation_postprocess(self, val_data, dataset_name, current_iter,
+                                save_img):
+        """Shared per-image tail of the validation loops: tensor2img,
+        optional PNG save, metric accumulation (ref: sr_model.py:184-249).
+        Expects self.output / self.gt already set for this image."""
+        img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
+        visuals = self.get_current_visuals()
+        sr_img = tensor2img(visuals["result"])
+        metric_data = {"img": sr_img}
+        if "gt" in visuals:
+            metric_data["img2"] = tensor2img(visuals["gt"])
+
+        if save_img:
+            if self.opt["is_train"]:
+                save_path = osp.join(self.opt["path"]["visualization"],
+                                     img_name,
+                                     f"{img_name}_{current_iter}.png")
+            else:
+                suffix = self.opt["val"].get("suffix") or self.opt["name"]
+                save_path = osp.join(self.opt["path"]["visualization"],
+                                     dataset_name,
+                                     f"{img_name}_{suffix}.png")
+            imwrite(sr_img, save_path)
+
+        if self.opt.get("val", {}).get("metrics") is not None:
+            for name, opt_ in self.opt["val"]["metrics"].items():
+                self.metric_results[name] += calculate_metric(metric_data,
+                                                              opt_)
+
+    def _finalize_validation(self, dataset_name, n_images, current_iter,
+                             tb_logger):
+        for metric in self.metric_results:
+            self.metric_results[metric] /= n_images
+            self._update_best_metric_result(dataset_name, metric,
+                                            self.metric_results[metric],
+                                            current_iter)
+        self._log_validation_metric_values(current_iter, dataset_name,
+                                           tb_logger)
+
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         dataset_name = dataloader.dataset.opt["name"]
         with_metrics = self.opt.get("val", {}).get("metrics") is not None
@@ -340,43 +379,16 @@ class SRModel:
             self.metric_results = {m: 0 for m in self.opt["val"]["metrics"]}
             self._initialize_best_metric_results(dataset_name)
 
-        metric_data = {}
         idx = -1
         for idx, val_data in enumerate(dataloader):
-            img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
             self.feed_data(val_data)
             self._run_inference()
-
-            visuals = self.get_current_visuals()
-            sr_img = tensor2img(visuals["result"])
-            metric_data["img"] = sr_img
-            if "gt" in visuals:
-                metric_data["img2"] = tensor2img(visuals["gt"])
-
-            if save_img:
-                if self.opt["is_train"]:
-                    save_path = osp.join(self.opt["path"]["visualization"],
-                                         img_name,
-                                         f"{img_name}_{current_iter}.png")
-                else:
-                    suffix = self.opt["val"].get("suffix") or self.opt["name"]
-                    save_path = osp.join(self.opt["path"]["visualization"],
-                                         dataset_name,
-                                         f"{img_name}_{suffix}.png")
-                imwrite(sr_img, save_path)
-
-            if with_metrics:
-                for name, opt_ in self.opt["val"]["metrics"].items():
-                    self.metric_results[name] += calculate_metric(metric_data, opt_)
+            self._validation_postprocess(val_data, dataset_name, current_iter,
+                                         save_img)
 
         if with_metrics and idx >= 0:
-            for metric in self.metric_results:
-                self.metric_results[metric] /= idx + 1
-                self._update_best_metric_result(dataset_name, metric,
-                                                self.metric_results[metric],
-                                                current_iter)
-            self._log_validation_metric_values(current_iter, dataset_name,
-                                               tb_logger)
+            self._finalize_validation(dataset_name, idx + 1, current_iter,
+                                      tb_logger)
 
     def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
         log_str = f"Validation {dataset_name}\n"
@@ -484,40 +496,15 @@ class HATModel(SRModel):
         if with_metrics:
             self.metric_results = {m: 0 for m in val_opt["metrics"]}
             self._initialize_best_metric_results(dataset_name)
-        metric_data = {}
         for val_data, out, (h, w) in zip(items, outs, true_dims):
-            img_name = osp.splitext(osp.basename(val_data["lq_path"][0]))[0]
             self.feed_data(val_data)
             self.output = jnp.asarray(
                 out[:, :h * self.scale, :w * self.scale, :])
-            visuals = self.get_current_visuals()
-            sr_img = tensor2img(visuals["result"])
-            metric_data["img"] = sr_img
-            if "gt" in visuals:
-                metric_data["img2"] = tensor2img(visuals["gt"])
-            if save_img:
-                if self.opt["is_train"]:
-                    save_path = osp.join(self.opt["path"]["visualization"],
-                                         img_name,
-                                         f"{img_name}_{current_iter}.png")
-                else:
-                    suffix = val_opt.get("suffix") or self.opt["name"]
-                    save_path = osp.join(self.opt["path"]["visualization"],
-                                         dataset_name,
-                                         f"{img_name}_{suffix}.png")
-                imwrite(sr_img, save_path)
-            if with_metrics:
-                for name, opt_ in val_opt["metrics"].items():
-                    self.metric_results[name] += calculate_metric(
-                        metric_data, opt_)
+            self._validation_postprocess(val_data, dataset_name, current_iter,
+                                         save_img)
         if with_metrics and items:
-            for metric in self.metric_results:
-                self.metric_results[metric] /= len(items)
-                self._update_best_metric_result(
-                    dataset_name, metric, self.metric_results[metric],
-                    current_iter)
-            self._log_validation_metric_values(current_iter, dataset_name,
-                                               tb_logger)
+            self._finalize_validation(dataset_name, len(items), current_iter,
+                                      tb_logger)
 
 
 @MODEL_REGISTRY.register()

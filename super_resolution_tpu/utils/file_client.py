@@ -138,6 +138,10 @@ class MemcachedBackend:
             self._sock = None
             raise
         if rest[nbytes:need] != b"\r\nEND\r\n":
+            # drop the connection: the stream is desynchronized and a
+            # later get() on the same socket would parse stale bytes as
+            # the wrong key's value
+            self._sock = None
             raise ConnectionError("malformed memcached data block "
                                   f"(trailer {rest[nbytes:need]!r})")
         data = rest[:nbytes]
