@@ -1,0 +1,150 @@
+"""Tensor parallelism (parallel/tp.py) on the 8-device CPU mesh.
+
+Pins: (1) the Megatron param layout actually shards the transformer
+matmuls (shard shapes + byte fraction), (2) a TP-sharded forward is
+numerically the single-device forward, (3) a DP x TP train step matches
+the unsharded step (params after one update), (4) non-divisible dims fall
+back to replicated instead of failing GSPMD.
+
+The reference has no TP analog (DDP only, basicsr/models/base_model.py:
+95-98) — this is TPU-native capability, tested the framework's way.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from super_resolution_tpu.models.hat_classic_arch import HATClassic
+from super_resolution_tpu.parallel.tp import (shard_params_tp,
+                                              tp_param_specs,
+                                              tp_sharded_fraction)
+
+
+def _tiny_net():
+    # heads=4 and mlp hidden 2*32=64 divide the 4-way model axis
+    return HATClassic(img_size=16, embed_dim=32, depths=(2, 2),
+                      num_heads=(4, 4), window_size=8, compress_ratio=4,
+                      squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
+                      mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = _tiny_net()
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    return net, params
+
+
+def test_tp_layout_shards_the_matmuls(net_and_params):
+    net, params = net_and_params
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("model",))
+    sharded = shard_params_tp(params, mesh)
+    qkv_k = sharded["layers_0"]["residual_group"]["blocks_0"]["attn"][
+        "qkv"]["kernel"]
+    # (32, 96) column-parallel over 4 -> local (32, 24)
+    assert qkv_k.addressable_shards[0].data.shape == (32, 24)
+    fc2_k = sharded["layers_0"]["residual_group"]["blocks_0"]["mlp"][
+        "fc2"]["kernel"]
+    # (64, 32) row-parallel over 4 -> local (16, 32)
+    assert fc2_k.addressable_shards[0].data.shape == (16, 32)
+    conv_k = sharded["conv_first"]["kernel"]
+    assert conv_k.addressable_shards[0].data.shape == conv_k.shape
+    # the transformer matmuls are most of the *block* bytes (whole tiny
+    # net is upsample-conv dominated, so probe the RHAG subtree)
+    assert tp_sharded_fraction(params["layers_0"]) > 0.45
+
+
+def test_tp_forward_matches_single_device(net_and_params):
+    net, params = net_and_params
+    x = jnp.asarray(np.random.default_rng(1).random((2, 16, 16, 3)),
+                    jnp.float32)
+    ref = jax.jit(net.apply)({"params": params}, x)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    sharded = shard_params_tp(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(net.apply)({"params": sharded}, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tp_train_step_matches_unsharded(net_and_params):
+    from super_resolution_tpu.runtime.train_loop import (build_optimizer,
+                                                         init_train_state,
+                                                         make_sr_train_step)
+
+    net, params = net_and_params
+    train_opt = {
+        "optim_g": {"type": "Adam", "lr": 2e-4, "betas": [0.9, 0.99]},
+        "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                      "gamma": 0.5},
+        "total_iter": 200, "pixel_opt": {"type": "L1Loss",
+                                         "loss_weight": 1.0},
+        "ema_decay": 0.999,
+    }
+    tx, _ = build_optimizer(train_opt)
+    step = make_sr_train_step(net, tx, train_opt)
+    rng = jax.random.PRNGKey(7)
+    batch_np = {
+        "lq": np.random.default_rng(2).random((4, 16, 16, 3)).astype(
+            np.float32),
+        "gt": np.random.default_rng(3).random((4, 32, 32, 3)).astype(
+            np.float32),
+    }
+
+    state0 = init_train_state(params, tx, ema_decay=0.999)
+    ref_state, ref_logs = jax.jit(step)(
+        state0, jax.tree.map(jnp.asarray, batch_np), rng)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    sh_params = shard_params_tp(params, mesh)
+    # opt/EMA state inherits the param layout via propagation under jit
+    sh_state = jax.jit(lambda p: init_train_state(p, tx, ema_decay=0.999))(
+        sh_params)
+    batch_sh = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("data"))),
+        batch_np)
+    tp_state, tp_logs = jax.jit(step)(sh_state, batch_sh, rng)
+
+    np.testing.assert_allclose(float(tp_logs["l_pix"]),
+                               float(ref_logs["l_pix"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        ref_state.params, jax.device_get(tp_state.params))
+
+
+def test_nondivisible_dims_fall_back_to_replicated():
+    net = HATClassic(img_size=16, embed_dim=30, depths=(1,), num_heads=(3,),
+                     window_size=8, compress_ratio=3, squeeze_factor=5,
+                     conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
+                     drop_path_rate=0.0, upscale=2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("model",))
+    sharded = shard_params_tp(params, mesh)  # 90 % 4 != 0 -> replicated
+    qkv_k = sharded["layers_0"]["residual_group"]["blocks_0"]["attn"][
+        "qkv"]["kernel"]
+    assert qkv_k.addressable_shards[0].data.shape == qkv_k.shape
+    ref = jax.jit(net.apply)({"params": params}, x)
+    out = jax.jit(net.apply)({"params": sharded}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attn_mode_rejected(net_and_params, monkeypatch):
+    _, params = net_and_params
+    monkeypatch.setenv("SR_TPU_ATTN", "pallas")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("model",))
+    with pytest.raises(RuntimeError, match="Pallas"):
+        shard_params_tp(params, mesh)
+
+
+def test_specs_cover_every_param(net_and_params):
+    _, params = net_and_params
+    specs = tp_param_specs(params)
+    assert (jax.tree_util.tree_structure(specs)
+            == jax.tree_util.tree_structure(params))
