@@ -537,13 +537,16 @@ class HATClassic(nn.Module):
         self.conv_last = nn.Conv(self.in_chans, (3, 3),
                                  padding=[(1, 1), (1, 1)], name="conv_last")
 
-    def __call__(self, x, deterministic: bool = True):
+    def head(self, x):
+        """Shallow feature extraction ahead of the RHAG stack — split out
+        so parallel/pipeline.py can run the (structurally identical,
+        shape-preserving) RHAGs as pipeline stages across a mesh axis."""
         x = MeanShift.normalize(x, self.img_range)
         feat = self.conv_first(x)
-        body = self.patch_embed(feat)
-        for layer in self.layers:
-            # positional: static_argnums=(2,) on the remat-lifted RHAG
-            body = layer(body, deterministic)
+        return feat, self.patch_embed(feat)
+
+    def tail(self, body, feat):
+        """Post-body norm/conv + global residual + reconstruction."""
         body = self.norm(body)
         if self.conv_after_body is not None:
             body = self.conv_after_body(body)
@@ -553,3 +556,10 @@ class HATClassic(nn.Module):
             y = pixel_shuffle(conv(y), r)
         y = self.conv_last(y)
         return MeanShift.denormalize(y, self.img_range)
+
+    def __call__(self, x, deterministic: bool = True):
+        feat, body = self.head(x)
+        for layer in self.layers:
+            # positional: static_argnums=(2,) on the remat-lifted RHAG
+            body = layer(body, deterministic)
+        return self.tail(body, feat)

@@ -1,0 +1,109 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-device CPU mesh.
+
+Pins the GPipe schedule against a serial scan over the same stacked
+stages, and whole-model HATClassic pipelined inference against the plain
+forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from super_resolution_tpu.parallel.pipeline import (
+    hat_classic_pipeline_forward, pipeline_apply, stack_stage_params)
+
+
+def _conv_stage(p, a):
+    y = jax.lax.conv_general_dilated(a, p["w"], (1, 1), "SAME",
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+    return jax.nn.relu(y + p["b"]) + a
+
+
+def _stacked_conv_params(s, c, rng):
+    return {"w": jnp.asarray(rng.normal(0, 0.1, (s, 3, 3, c, c)),
+                             jnp.float32),
+            "b": jnp.asarray(rng.normal(0, 0.1, (s, c)), jnp.float32)}
+
+
+def _serial(params, x):
+    out, _ = jax.lax.scan(lambda a, p: (_conv_stage(p, a), None), x, params)
+    return out
+
+
+@pytest.mark.parametrize("npipe,microbatches", [(2, 2), (4, 4), (4, 2),
+                                                (8, 4)])
+def test_pipeline_matches_serial_scan(npipe, microbatches):
+    rng = np.random.default_rng(npipe * 10 + microbatches)
+    s, c = 8, 4
+    params = _stacked_conv_params(s, c, rng)
+    x = jnp.asarray(rng.random((4, 6, 6, c)), jnp.float32)
+    ref = _serial(params, x)
+    mesh = Mesh(np.asarray(jax.devices()[:npipe]).reshape(npipe), ("pipe",))
+    out = jax.jit(lambda p, a: pipeline_apply(
+        _conv_stage, p, a, mesh, microbatches=microbatches))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pipeline_single_device_degenerates_to_scan():
+    rng = np.random.default_rng(0)
+    params = _stacked_conv_params(4, 4, rng)
+    x = jnp.asarray(rng.random((2, 6, 6, 4)), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("pipe",))
+    out = pipeline_apply(_conv_stage, params, x, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_serial(params, x)),
+                               atol=1e-6)
+
+
+def test_pipeline_validates_divisibility():
+    rng = np.random.default_rng(0)
+    params = _stacked_conv_params(6, 4, rng)
+    x = jnp.zeros((4, 6, 6, 4), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_apply(_conv_stage, params, x, mesh)
+    params8 = _stacked_conv_params(8, 4, rng)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_apply(_conv_stage, params8, x, mesh, microbatches=3)
+
+
+def test_stack_stage_params_rejects_mismatch():
+    p = {"layers_0": {"a": jnp.zeros((2,))},
+         "layers_1": {"a": jnp.zeros((2,)), "b": jnp.zeros(())}}
+    with pytest.raises(ValueError, match="identical"):
+        stack_stage_params(p, ["layers_0", "layers_1"])
+
+
+def test_hat_classic_pipelined_forward_matches_plain():
+    from super_resolution_tpu.models.hat_classic_arch import HATClassic
+
+    net = HATClassic(img_size=16, embed_dim=16, depths=(2, 2, 2, 2),
+                     num_heads=(2, 2, 2, 2), window_size=8,
+                     compress_ratio=4, squeeze_factor=8, conv_scale=0.01,
+                     overlap_ratio=0.5, mlp_ratio=2.0, drop_path_rate=0.1,
+                     upscale=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    ref = jax.jit(net.apply)({"params": params}, x)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    out = hat_classic_pipeline_forward(net, params, x, mesh,
+                                       microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_hat_classic_pipeline_rejects_ragged_groups():
+    from super_resolution_tpu.models.hat_classic_arch import HATClassic
+
+    net = HATClassic(img_size=16, embed_dim=16, depths=(2, 4),
+                     num_heads=(2, 2), window_size=8, compress_ratio=4,
+                     squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
+                     mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pipe",))
+    with pytest.raises(ValueError, match="identical RHAG"):
+        hat_classic_pipeline_forward(net, {}, jnp.zeros((2, 16, 16, 3)),
+                                     mesh)
