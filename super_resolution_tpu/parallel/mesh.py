@@ -37,6 +37,32 @@ def make_mesh(n_devices: int | None = None, axis_names: Sequence[str] = ("data",
     return Mesh(arr, axis_names)
 
 
+def make_mesh_from_spec(spec: dict, devices=None) -> Mesh:
+    """Mesh from a YAML ``mesh:`` block — ordered {axis: size}; one axis
+    may be -1 (fill with the remaining devices). E.g.
+    ``mesh: {data: -1}`` (pure DP) or ``mesh: {data: 4, model: 2}``
+    (DP x TP rectangle; parallel/tp.py shards the transformer matmuls
+    over 'model')."""
+    if devices is None:
+        devices = jax.devices()
+    sizes = dict(spec)
+    fills = [a for a, s in sizes.items() if s == -1]
+    if len(fills) > 1:
+        raise ValueError(f"mesh spec {spec}: only one axis may be -1")
+    fixed = int(np.prod([s for s in sizes.values() if s != -1]))
+    if fills:
+        if len(devices) % fixed:
+            raise ValueError(f"mesh spec {spec} does not divide "
+                             f"{len(devices)} devices")
+        sizes[fills[0]] = len(devices) // fixed
+    n = int(np.prod(list(sizes.values())))
+    if n > len(devices):
+        raise ValueError(f"mesh spec {spec} needs {n} devices, "
+                         f"found {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(tuple(sizes.values()))
+    return Mesh(arr, tuple(sizes))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch/tile) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis))

@@ -167,20 +167,46 @@ class SRModel:
         self.mesh = mesh
         self.tx, self.lr_schedule = build_optimizer(train_opt)
         self.ema_decay = train_opt.get("ema_decay", 0)
-        self.state = init_train_state(self.params, self.tx, self.ema_decay)
         step_fn = make_sr_train_step(self.net_g, self.tx, train_opt)
-        if mesh is not None:
-            from super_resolution_tpu.parallel.mesh import batch_sharding, replicated
+        use_tp = mesh is not None and int(mesh.shape.get("model", 1)) > 1
+        if use_tp:
+            # Megatron TP (parallel/tp.py): transformer matmuls sharded
+            # over 'model', GSPMD inserts the collectives. The fused
+            # Pallas kernels need whole weight matrices in VMEM, so the
+            # attention path is pinned to XLA for this process.
+            import os
 
-            self._train_step = jax.jit(
-                step_fn,
-                in_shardings=(replicated(mesh),
-                              {"lq": batch_sharding(mesh),
-                               "gt": batch_sharding(mesh)},
-                              replicated(mesh)),
-                out_shardings=(replicated(mesh), replicated(mesh)))
-        else:
+            from super_resolution_tpu.utils.logger import get_root_logger
+            from super_resolution_tpu.parallel.tp import shard_params_tp
+
+            if os.environ.get("SR_TPU_ATTN", "").lower() == "pallas":
+                get_root_logger().warning(
+                    "tensor parallelism overrides SR_TPU_ATTN=pallas -> xla")
+            os.environ["SR_TPU_ATTN"] = "xla"
+            self.params = shard_params_tp(self.params, mesh)
+            # under jit the optimizer/EMA state inherits the param layout
+            self.state = jax.jit(lambda p: init_train_state(
+                p, self.tx, self.ema_decay))(self.params)
+            # computation follows the sharded operands (params in the TP
+            # layout, batch on 'data'); explicit replicated out_shardings
+            # would undo the layout every step
             self._train_step = jax.jit(step_fn)
+        else:
+            self.state = init_train_state(self.params, self.tx,
+                                          self.ema_decay)
+            if mesh is not None:
+                from super_resolution_tpu.parallel.mesh import (
+                    batch_sharding, replicated)
+
+                self._train_step = jax.jit(
+                    step_fn,
+                    in_shardings=(replicated(mesh),
+                                  {"lq": batch_sharding(mesh),
+                                   "gt": batch_sharding(mesh)},
+                                  replicated(mesh)),
+                    out_shardings=(replicated(mesh), replicated(mesh)))
+            else:
+                self._train_step = jax.jit(step_fn)
         self._train_rng = jax.random.PRNGKey(
             (self.opt.get("manual_seed") or 0) + 1)
         self.log_dict = {}

@@ -62,6 +62,14 @@ def create_train_val_dataloaders(opt: dict, logger, mesh=None):
 def run_train(opt: dict, opt_path: str | None = None, mesh=None):
     import jax
 
+    # config-driven device mesh (TPU-native replacement for the
+    # reference's num_gpu/DDP launch plumbing): `mesh: {data: -1}` is pure
+    # DP over all chips, `mesh: {data: N, model: M}` the DP x TP rectangle
+    if mesh is None and opt.get("mesh"):
+        from super_resolution_tpu.parallel.mesh import make_mesh_from_spec
+
+        mesh = make_mesh_from_spec(opt["mesh"])
+
     set_random_seed(opt["manual_seed"] + opt["rank"])
     resume_path = load_resume_state(opt)
     if resume_path is None:
