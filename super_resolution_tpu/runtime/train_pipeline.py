@@ -107,6 +107,14 @@ def run_train(opt: dict, opt_path: str | None = None, mesh=None):
     msg_logger = MessageLogger(opt, current_iter, tb_logger)
     data_timer, iter_timer = AvgTimer(), AvgTimer()
 
+    # XLA profiler trace window (utils/profiler.py) — the TPU-native
+    # observability the reference lacks (its tracing is AvgTimers only,
+    # basicsr/utils/logger.py:10-43)
+    from super_resolution_tpu.utils.profiler import TraceWindow
+
+    trace = TraceWindow(opt["logger"].get("profile"),
+                        osp.join(opt["path"]["experiments_root"], "profile"))
+
     total_iters = int(opt["train"]["total_iter"])
     num_iter_per_epoch = max(1, len(train_loader))
     total_epochs = math.ceil(total_iters / num_iter_per_epoch)
@@ -126,6 +134,8 @@ def run_train(opt: dict, opt_path: str | None = None, mesh=None):
                 stop = True
                 break
             model.optimize_parameters(batch, current_iter)
+            trace.step(current_iter,
+                       block_on=getattr(model, "log_dict", None))
             iter_timer.record()
 
             if current_iter % print_freq == 0:
@@ -148,6 +158,7 @@ def run_train(opt: dict, opt_path: str | None = None, mesh=None):
             iter_timer.start()
         epoch += 1
 
+    trace.close()
     logger.info("End of training.")
     if jax.process_index() == 0:
         model.save(epoch, current_iter)

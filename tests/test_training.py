@@ -295,3 +295,43 @@ def test_esr_model_training(rng, tmp_path):
         if it >= 3:  # mesa starts at 0.3 * 10 = iter 3
             assert "l_mesa" in logs
     assert losses[-1] < losses[0]
+
+
+def test_train_profile_trace_window(synth_train_data, tmp_path):
+    """logger.profile opens a jax.profiler trace over the configured
+    iteration window and writes a TensorBoard-readable xplane dump
+    (utils/profiler.py — SURVEY 5.1's TPU-native tracer; the reference
+    only has AvgTimers, basicsr/utils/logger.py:10-43)."""
+    from super_resolution_tpu.runtime.train_pipeline import run_train
+    from super_resolution_tpu.utils.options import process_options
+
+    gt_dir, lq_dir = synth_train_data
+    opt = {
+        "name": "profile_smoke", "model_type": "SRModel", "scale": 2,
+        "num_gpu": 1, "manual_seed": 0,
+        "network_g": {"type": "ESC", "dim": 16, "pdim": 8, "kernel_size": 5,
+                      "n_blocks": 1, "conv_blocks": 1, "window_size": 8,
+                      "num_heads": 2, "upscaling_factor": 2, "exp_ratio": 1.0},
+        "datasets": {
+            "train": {"name": "synth", "type": "PairedImageDataset",
+                      "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+                      "gt_size": 32, "use_hflip": False, "use_rot": False,
+                      "batch_size_per_gpu": 2, "dataset_enlarge_ratio": 1,
+                      "io_backend": {"type": "disk"}},
+        },
+        "train": {**_tiny_train_opt(), "total_iter": 4},
+        "logger": {"print_freq": 10, "save_checkpoint_freq": 100,
+                   "use_tb_logger": False,
+                   "profile": {"start_iter": 2, "num_iters": 2}},
+        "path": {"pretrain_network_g": None,
+                 "experiments_root": str(tmp_path / "exp")},
+    }
+    opt = process_options(opt, str(tmp_path), is_train=True)
+    run_train(opt)
+    profile_dir = os.path.join(str(tmp_path / "exp"), "profile_smoke",
+                               "profile")
+    dumps = [os.path.join(root, f)
+             for root, _, files in os.walk(profile_dir) for f in files]
+    assert dumps, f"no profiler artifacts under {profile_dir}"
+    assert any(f.endswith((".xplane.pb", ".trace.json.gz")) for f in dumps), \
+        dumps
