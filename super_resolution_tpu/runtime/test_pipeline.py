@@ -32,12 +32,19 @@ def run_test(opt: dict):
 
     model = build_model(opt)
     results = {}
-    for test_loader in test_loaders:
-        test_set_name = test_loader.dataset.opt["name"]
-        logger.info(f"Testing {test_set_name}...")
-        model.validation(test_loader, current_iter=opt["name"],
-                         save_img=opt["val"].get("save_img", True))
-        results[test_set_name] = dict(model.metric_results)
+    # Optional whole-eval XLA trace (logger.profile in the test YAML) —
+    # utils/profiler.py; the reference's only eval timing is wall-clock
+    # prints (ESC/scripts/test_direct_metrics.py).
+    from super_resolution_tpu.utils.profiler import trace_eval
+
+    with trace_eval(opt.get("logger", {}).get("profile"),
+                    osp.join(opt["path"]["results_root"], "profile")):
+        for test_loader in test_loaders:
+            test_set_name = test_loader.dataset.opt["name"]
+            logger.info(f"Testing {test_set_name}...")
+            model.validation(test_loader, current_iter=opt["name"],
+                             save_img=opt["val"].get("save_img", True))
+            results[test_set_name] = dict(model.metric_results)
     return results
 
 

@@ -71,3 +71,28 @@ class TraceWindow:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True
+
+
+class trace_eval:
+    """Context manager tracing a whole evaluation pass.
+
+    The eval analog of :class:`TraceWindow` — a ``logger.profile`` block in
+    a *test* YAML traces the validation loop (tile dispatches, host<->device
+    image transfers, metric reductions). Inert when ``cfg`` is None or on
+    non-zero processes.
+    """
+
+    def __init__(self, cfg: dict | None, default_logdir: str):
+        self._on = cfg is not None and jax.process_index() == 0
+        self.logdir = (cfg or {}).get("logdir") or default_logdir
+
+    def __enter__(self):
+        if self._on:
+            os.makedirs(self.logdir, exist_ok=True)
+            jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        if self._on:
+            jax.profiler.stop_trace()
+        return False

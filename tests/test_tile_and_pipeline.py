@@ -250,3 +250,24 @@ def test_dist_validation_single_process(tmp_path, rng):
     dist_psnr = model.metric_results["psnr"]
     model.nondist_validation(EvalLoader(ds), 1, None, False)
     assert abs(dist_psnr - model.metric_results["psnr"]) < 1e-9
+
+
+def test_eval_profile_trace(synthetic_dataset, tmp_path):
+    """logger.profile in a *test* YAML traces the whole validation pass and
+    writes a TensorBoard-readable xplane dump (utils/profiler.py::trace_eval;
+    the reference's only eval timing is wall-clock prints,
+    ESC/scripts/test_direct_metrics.py)."""
+    from super_resolution_tpu.runtime.test_pipeline import run_test
+    from super_resolution_tpu.utils.options import process_options
+
+    gt_dir, lq_dir = synthetic_dataset
+    opt = _pipeline_opt(gt_dir, lq_dir, tmp_path)
+    opt["logger"] = {"profile": {}}
+    opt = process_options(opt, str(tmp_path), is_train=False)
+    results = run_test(opt)
+    assert "Synth5" in results
+    profile_dir = os.path.join(str(tmp_path), "test_ESC_x2", "profile")
+    dumps = [os.path.join(root, f)
+             for root, _, files in os.walk(profile_dir) for f in files]
+    assert any(f.endswith((".xplane.pb", ".trace.json.gz")) for f in dumps), \
+        dumps
