@@ -242,7 +242,7 @@ def bias_attention_supported(nq: int, nk: int, heads: int) -> bool:
 
 
 def ocab_attention_supported(window_size: int, overlap_win: int,
-                             heads: int = 6) -> bool:
+                             heads: int) -> bool:
     """Mosaic needs the Element-indexed kv block's sublane dim (ow)
     divisible by 8; ws must divide the image (caller pads). Both OCAB
     kernels also hold the full (heads, ws^2, ow^2) f32 bias block in

@@ -59,6 +59,15 @@ def make_mesh_from_spec(spec: dict, devices=None) -> Mesh:
     if n > len(devices):
         raise ValueError(f"mesh spec {spec} needs {n} devices, "
                          f"found {len(devices)}")
+    if n < len(devices):
+        # an explicit undersized spec silently idling chips is almost
+        # always a config bug — use -1 to fill the slice
+        from super_resolution_tpu.utils.logger import get_root_logger
+
+        get_root_logger().warning(
+            f"mesh spec {spec} covers {n} of {len(devices)} devices; "
+            f"{len(devices) - n} chips will sit idle (use -1 on one axis "
+            f"to fill the slice)")
     arr = np.asarray(devices[:n]).reshape(tuple(sizes.values()))
     return Mesh(arr, tuple(sizes))
 

@@ -40,6 +40,23 @@ def stack_stage_params(params: Any, names: Sequence[str]) -> Any:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *subtrees)
 
 
+def split_stage_params(params: Any, names: Sequence[str]):
+    """(stacked stage subtrees, rest-of-params) — the PP TrainState layout:
+    `stacked` lives sharded P('pipe') so each device holds only its stage
+    slice (params, grads, Adam moments), `rest` (head/tail) is replicated."""
+    rest = {k: v for k, v in params.items() if k not in set(names)}
+    return stack_stage_params(params, names), rest
+
+
+def merge_stage_params(stacked: Any, rest: Any, names: Sequence[str]) -> Any:
+    """Inverse of split_stage_params — back to the flax param tree (for
+    checkpointing / the inference path)."""
+    out = dict(rest)
+    for i, n in enumerate(names):
+        out[n] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
 def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                    stacked_params: Any, x: jnp.ndarray, mesh: Mesh,
                    axis: str = "pipe", microbatches: int | None = None):
@@ -114,33 +131,132 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     return out.reshape(x.shape)
 
 
-def hat_classic_pipeline_forward(net, params: Any, x: jnp.ndarray,
-                                 mesh: Mesh, axis: str = "pipe",
-                                 microbatches: int | None = None):
-    """Whole-model pipelined inference for HATClassic: replicated head and
-    tail (tiny — two convs + LN), RHAG stack pipelined over mesh[axis].
-
-    Requires equal depths per group (the flagship's (6,)*6 qualifies)."""
+def hat_classic_stage(net):
+    """(stage module, stage param names) for pipelining a HATClassic net:
+    one RHAG standing in for every group. Requires equal group configs
+    (the flagship's (6,)*6 qualifies). Drop-path rates are stage-0's —
+    stages are applied deterministically in the pipeline (drop-path is a
+    regularizer, inactive both at inference and in PP training; see
+    make_hat_pp_train_step)."""
     from super_resolution_tpu.models.hat_classic_arch import RHAGClassic
 
     if len(set(net.depths)) != 1 or len(set(net.num_heads)) != 1:
         raise ValueError("pipelining needs identical RHAG configs; got "
                          f"depths={net.depths} heads={net.num_heads}")
     names = [f"layers_{i}" for i in range(len(net.depths))]
-    stacked = stack_stage_params(params, names)
     dpr = np.linspace(0, net.drop_path_rate, sum(net.depths)).tolist()
     stage = RHAGClassic(
         dim=net.embed_dim, depth=net.depths[0], num_heads=net.num_heads[0],
         window_size=net.window_size, compress_ratio=net.compress_ratio,
         squeeze_factor=net.squeeze_factor, conv_scale=net.conv_scale,
         overlap_ratio=net.overlap_ratio, mlp_ratio=net.mlp_ratio,
-        # inference-only: drop-path is identity under deterministic=True,
-        # so stage-0 rates stand in for every stage's
         drop_path_rates=tuple(dpr[:net.depths[0]]),
         resi_connection=net.resi_connection)
+    return stage, names
 
+
+def hat_classic_pipeline_forward(net, params: Any, x: jnp.ndarray,
+                                 mesh: Mesh, axis: str = "pipe",
+                                 microbatches: int | None = None):
+    """Whole-model pipelined inference for HATClassic: replicated head and
+    tail (tiny — two convs + LN), RHAG stack pipelined over mesh[axis]."""
+    stage, names = hat_classic_stage(net)
+    stacked = stack_stage_params(params, names)
     feat, body = net.apply({"params": params}, x, method="head")
     body = pipeline_apply(
         lambda p, a: stage.apply({"params": p}, a, True),
         stacked, body, mesh, axis=axis, microbatches=microbatches)
     return net.apply({"params": params}, body, feat, method="tail")
+
+
+def init_pp_params(net, params: Any, mesh: Mesh, axis: str = "pipe"):
+    """Split + device_put the flax param tree into the PP layout:
+    {'stages': stacked stage slices sharded P(axis) (each pipe device holds
+    only its chunk), 'rest': head/tail replicated over the mesh}."""
+    stage, names = hat_classic_stage(net)
+    stacked, rest = split_stage_params(params, names)
+    from jax.sharding import NamedSharding
+
+    stacked = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(
+            mesh, P(axis, *([None] * (v.ndim - 1))))), stacked)
+    rest = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P())), rest)
+    return {"stages": stacked, "rest": rest}
+
+
+def merge_pp_params(net, pp_params: Any) -> Any:
+    """PP layout -> plain flax param tree (replicated): for checkpoints and
+    the (non-pipelined) inference path."""
+    _, names = hat_classic_stage(net)
+    return merge_stage_params(pp_params["stages"], pp_params["rest"], names)
+
+
+def make_hat_pp_train_step(net, tx, train_opt: dict, mesh: Mesh,
+                           axis: str = "pipe",
+                           microbatches: int | None = None):
+    """GPipe TRAINING step over mesh[axis] — same contract as
+    make_sr_train_step: f(state, batch, rng) -> (state, logs), where
+    state.params is the init_pp_params layout.
+
+    The backward pass is reverse-mode THROUGH the pipelined forward:
+    transposing the tick scan replays the schedule in reverse, ppermute
+    transposes to the inverse ring permutation (activations' cotangents
+    flow device i+1 -> i), and the scan-carry cotangent accumulates each
+    device's stage-slice gradient across its microbatches — exactly
+    GPipe's microbatch gradient accumulation, derived by autodiff instead
+    of hand-scheduled. One optimizer update per step; stage params, grads
+    and Adam moments all live sharded P(axis), so per-device optimizer
+    memory is S/P stages (the point of PP).
+
+    Drop-path runs inactive inside the pipelined stack (stacked stages
+    share one module; per-stage stochastic-depth rates don't stack).
+    Pinned against the plain DP step at ~1e-5 by
+    tests/test_pipeline_parallel.py::test_pp_train_step_matches_plain.
+
+    Replaces: the reference trains only under DDP replication
+    (ref: basicsr/models/base_model.py:95-98)."""
+    import optax
+
+    from super_resolution_tpu.losses import build_loss
+    from super_resolution_tpu.runtime.train_loop import TrainState
+
+    cri_pix = build_loss(train_opt["pixel_opt"])
+    ema_decay = train_opt.get("ema_decay", 0)
+    use_amp = bool(train_opt.get("use_amp", False))
+    stage, _ = hat_classic_stage(net)
+
+    def loss_fn(pp_params, batch):
+        rest, stages = pp_params["rest"], pp_params["stages"]
+        lq = batch["lq"]
+        if use_amp:
+            cast = lambda v: (v.astype(jnp.bfloat16)  # noqa: E731
+                              if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            rest = jax.tree.map(cast, rest)
+            stages = jax.tree.map(cast, stages)
+            lq = lq.astype(jnp.bfloat16)
+        feat, body = net.apply({"params": rest}, lq, method="head")
+        body = pipeline_apply(
+            lambda p, a: stage.apply({"params": p}, a, True),
+            stages, body, mesh, axis=axis, microbatches=microbatches)
+        sr = net.apply({"params": rest}, body, feat,
+                       method="tail").astype(jnp.float32)
+        l_pix = cri_pix(sr, batch["gt"])
+        return l_pix, {"l_pix": l_pix}
+
+    def train_step(state: TrainState, batch, rng):
+        del rng  # drop-path inactive in the pipelined stack
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if ema_decay > 0:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                state.ema_params, params)
+        else:
+            ema = state.ema_params
+        return TrainState(step=state.step + 1, params=params,
+                          ema_params=ema, opt_state=opt_state), logs
+
+    return train_step

@@ -258,14 +258,33 @@ class SRModel:
 
         tree = load_tree(resume_path)
         self.params = jax.tree.map(jnp.asarray, tree["params"])
+        # re-apply the TP layout: loaded arrays are plain/replicated, and
+        # feeding them to the unconstrained train-step jit would silently
+        # replicate the whole resumed run (computation follows data)
+        mesh = getattr(self, "mesh", None)
+        use_tp = mesh is not None and int(mesh.shape.get("model", 1)) > 1
+        if use_tp:
+            from super_resolution_tpu.parallel.tp import shard_params_tp
+
+            self.params = shard_params_tp(self.params, mesh)
         if "params_ema" in tree:
             self.ema_params = jax.tree.map(jnp.asarray, tree["params_ema"])
+            if use_tp:
+                self.ema_params = shard_params_tp(self.ema_params, mesh)
         if getattr(self, "state", None) is not None:
             from super_resolution_tpu.runtime.train_loop import TrainState
 
             opt_state = self.state.opt_state
             if "opt_state" in tree:
-                leaves = [jnp.asarray(v) for v in tree["opt_state"]]
+                # setup_training built self.state under the mesh, so its
+                # leaves carry the target layout (TP-sharded moments);
+                # device_put the loaded arrays straight onto it
+                old_leaves = jax.tree.leaves(self.state.opt_state)
+                leaves = [
+                    jax.device_put(np.asarray(v), old.sharding)
+                    if use_tp and hasattr(old, "sharding")
+                    else jnp.asarray(v)
+                    for v, old in zip(tree["opt_state"], old_leaves)]
                 opt_state = jax.tree.unflatten(
                     jax.tree.structure(self.state.opt_state), leaves)
             self.state = TrainState(

@@ -96,6 +96,68 @@ def test_hat_classic_pipelined_forward_matches_plain():
                                rtol=1e-5)
 
 
+def test_pp_train_step_matches_plain():
+    """GPipe TRAINING: 3 steps of the pipelined train step (4-stage ring,
+    reverse-mode through the schedule = GPipe backward with microbatch
+    grad accumulation) track the plain train step — losses and merged
+    post-step params at ~1e-5."""
+    from super_resolution_tpu.models.hat_classic_arch import HATClassic
+    from super_resolution_tpu.parallel.pipeline import (
+        init_pp_params, make_hat_pp_train_step, merge_pp_params)
+    from super_resolution_tpu.runtime.train_loop import (
+        build_optimizer, init_train_state, make_sr_train_step)
+
+    net = HATClassic(img_size=16, embed_dim=16, depths=(1,) * 4,
+                     num_heads=(2,) * 4, window_size=8, compress_ratio=4,
+                     squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
+                     mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
+    rng = np.random.default_rng(9)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3)))["params"]
+    train_opt = {
+        "optim_g": {"type": "Adam", "lr": 2e-4, "betas": [0.9, 0.99]},
+        "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                      "gamma": 0.5},
+        "total_iter": 200,
+        "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        "ema_decay": 0.999,
+    }
+    tx, _ = build_optimizer(train_opt)
+
+    ref_step = jax.jit(make_sr_train_step(net, tx, train_opt))
+    ref_state = init_train_state(params, tx, ema_decay=0.999)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    pp_params = init_pp_params(net, params, mesh)
+    pp_state = jax.jit(lambda p: init_train_state(p, tx, ema_decay=0.999))(
+        pp_params)
+    pp_step = jax.jit(make_hat_pp_train_step(net, tx, train_opt, mesh,
+                                             microbatches=4))
+
+    for i in range(3):
+        batch = {"lq": jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32),
+                 "gt": jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)}
+        key = jax.random.PRNGKey(i)
+        ref_state, ref_logs = ref_step(ref_state, batch, key)
+        pp_state, pp_logs = pp_step(pp_state, batch, key)
+        np.testing.assert_allclose(float(pp_logs["l_pix"]),
+                                   float(ref_logs["l_pix"]), rtol=1e-5)
+
+    # each pipe device holds only its stage slice of params AND moments
+    stage_leaf = jax.tree.leaves(pp_state.params["stages"])[0]
+    assert stage_leaf.addressable_shards[0].data.shape[0] == 1
+    merged = merge_pp_params(net, jax.device_get(pp_state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        jax.device_get(ref_state.params), merged)
+    merged_ema = merge_pp_params(net, jax.device_get(pp_state.ema_params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        jax.device_get(ref_state.ema_params), merged_ema)
+
+
 def test_hat_classic_pipeline_rejects_ragged_groups():
     from super_resolution_tpu.models.hat_classic_arch import HATClassic
 
