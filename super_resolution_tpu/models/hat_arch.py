@@ -618,15 +618,30 @@ class HAT(nn.Module):
             x = layer(x, deterministic)
         return self.norm(x)
 
-    def __call__(self, x, deterministic: bool = True):
+    def head(self, x):
+        """Shallow features ahead of the RHAG stack — split out (same
+        contract as HATClassic.head) so parallel/pipeline.py can run the
+        groups as pipeline stages over a mesh axis."""
         x = MeanShift.normalize(x, self.img_range)
         feat = self.conv_first(x)
-        body = self.features(feat, deterministic=deterministic)
+        return feat, self.patch_embed(feat)
+
+    def tail(self, body, feat):
+        """Post-body norm/conv + global residual + reconstruction."""
+        body = self.norm(body)
         if self.conv_after_body is not None:
             body = self.conv_after_body(body)
         feat = body + feat
-        y = nn.leaky_relu(self.conv_before_upsample_0(feat), negative_slope=0.01)
+        y = nn.leaky_relu(self.conv_before_upsample_0(feat),
+                          negative_slope=0.01)
         for conv, r in zip(self.upsample_convs, self.upsample_factors):
             y = pixel_shuffle(conv(y), r)
         y = self.conv_last(y)
         return MeanShift.denormalize(y, self.img_range)
+
+    def __call__(self, x, deterministic: bool = True):
+        feat, body = self.head(x)
+        for layer in self.layers:
+            # positional: static_argnums=(2,) on the remat-lifted RHAG
+            body = layer(body, deterministic)
+        return self.tail(body, feat)

@@ -132,27 +132,43 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
 
 
 def hat_classic_stage(net):
-    """(stage module, stage param names) for pipelining a HATClassic net:
-    one RHAG standing in for every group. Requires equal group configs
-    (the flagship's (6,)*6 qualifies). Drop-path rates are stage-0's —
-    stages are applied deterministically in the pipeline (drop-path is a
-    regularizer, inactive both at inference and in PP training; see
-    make_hat_pp_train_step)."""
-    from super_resolution_tpu.models.hat_classic_arch import RHAGClassic
+    """(stage module, stage param names) for pipelining a HATClassic or
+    fork-HAT net: one RHAG standing in for every group. Requires equal
+    group configs (the flagship's (6,)*6 qualifies). Drop-path rates are
+    stage-0's — stages are applied deterministically in the pipeline
+    (drop-path is a regularizer, inactive both at inference and in PP
+    training; see make_hat_pp_train_step)."""
+    from super_resolution_tpu.models.hat_arch import HAT, RHAG
+    from super_resolution_tpu.models.hat_classic_arch import (HATClassic,
+                                                              RHAGClassic)
 
     if len(set(net.depths)) != 1 or len(set(net.num_heads)) != 1:
         raise ValueError("pipelining needs identical RHAG configs; got "
                          f"depths={net.depths} heads={net.num_heads}")
     names = [f"layers_{i}" for i in range(len(net.depths))]
     dpr = np.linspace(0, net.drop_path_rate, sum(net.depths)).tolist()
-    stage = RHAGClassic(
+    common = dict(
         dim=net.embed_dim, depth=net.depths[0], num_heads=net.num_heads[0],
         window_size=net.window_size, compress_ratio=net.compress_ratio,
         squeeze_factor=net.squeeze_factor, conv_scale=net.conv_scale,
         overlap_ratio=net.overlap_ratio, mlp_ratio=net.mlp_ratio,
         drop_path_rates=tuple(dpr[:net.depths[0]]),
         resi_connection=net.resi_connection)
-    return stage, names
+    if type(net) is HATClassic:
+        return RHAGClassic(**common), names
+    if type(net) is HAT:
+        import flax.linen as nn
+
+        cls = (nn.remat(RHAG, static_argnums=(2,)) if net.use_checkpoint
+               else RHAG)
+        return cls(**common, esc_pdim=net.esc_pdim,
+                   esc_kernel=net.esc_kernel,
+                   ocab_esc_enable=net.ocab_esc_enable,
+                   ocab_esc_pdim=net.ocab_esc_pdim,
+                   ocab_esc_kernel=net.ocab_esc_kernel), names
+    raise NotImplementedError(
+        f"pipeline stages for {type(net).__name__}; HATClassic and HAT "
+        "group stacks are supported")
 
 
 def hat_classic_pipeline_forward(net, params: Any, x: jnp.ndarray,

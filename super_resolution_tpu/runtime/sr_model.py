@@ -83,9 +83,23 @@ class SRModel:
             self.params = load_params(load_path, self.params, param_key)
 
     # -------------------------------------------------------------- forward
+    def _sync_from_state(self):
+        """PP mode trains on the {'stages','rest'} layout (stage slices
+        sharded over 'pipe'); merge back to the flax tree only when the
+        inference/checkpoint path actually needs it."""
+        if getattr(self, "_pp_params_stale", False):
+            from super_resolution_tpu.parallel.pipeline import merge_pp_params
+
+            self.params = merge_pp_params(self.net_g, self.state.params)
+            if self.ema_decay > 0 and self.state.ema_params is not None:
+                self.ema_params = merge_pp_params(self.net_g,
+                                                  self.state.ema_params)
+            self._pp_params_stale = False
+
     def eval_params(self):
         """EMA params if present, else raw params (net_g_ema preference,
         ref: hat_model.py:30-37) — cast to the inference dtype (cached)."""
+        self._sync_from_state()
         params = self.ema_params if self.ema_params is not None else self.params
         dt = self.inference_dtype()
         if dt is None:
@@ -169,7 +183,28 @@ class SRModel:
         self.ema_decay = train_opt.get("ema_decay", 0)
         step_fn = make_sr_train_step(self.net_g, self.tx, train_opt)
         use_tp = mesh is not None and int(mesh.shape.get("model", 1)) > 1
-        if use_tp:
+        use_pp = mesh is not None and int(mesh.shape.get("pipe", 1)) > 1
+        self._pp_mode = use_pp
+        if use_pp:
+            # GPipe training (parallel/pipeline.py): the RHAG stack as
+            # stages over 'pipe', microbatches streamed via ppermute,
+            # backward = reverse-mode through the schedule. Params live in
+            # the {'stages','rest'} layout; the inference path merges
+            # lazily (_sync_from_state).
+            if use_tp:
+                raise NotImplementedError(
+                    "mesh: {model, pipe} composition is not wired; use one "
+                    "of TP or PP per run")
+            from super_resolution_tpu.parallel.pipeline import (
+                init_pp_params, make_hat_pp_train_step)
+
+            pp_params = init_pp_params(self.net_g, self.params, mesh)
+            self.state = jax.jit(lambda p: init_train_state(
+                p, self.tx, self.ema_decay))(pp_params)
+            self._train_step = jax.jit(
+                make_hat_pp_train_step(self.net_g, self.tx, train_opt, mesh))
+            self._pp_params_stale = True
+        elif use_tp:
             # Megatron TP (parallel/tp.py): transformer matmuls sharded
             # over 'model', GSPMD inserts the collectives. The fused
             # Pallas kernels need whole weight matrices in VMEM, so the
@@ -214,7 +249,13 @@ class SRModel:
     def optimize_parameters(self, batch: dict, current_iter: int):
         self._train_rng, rng = jax.random.split(self._train_rng)
         data = {"lq": jnp.asarray(batch["lq"]), "gt": jnp.asarray(batch["gt"])}
-        if self.mesh is not None:
+        if self.mesh is not None and getattr(self, "_pp_mode", False):
+            # GPipe consumes the whole batch on every pipe device
+            # (microbatches stream through the ring, not across 'data')
+            from super_resolution_tpu.parallel.mesh import replicate
+
+            data = replicate(data, self.mesh)
+        elif self.mesh is not None:
             from super_resolution_tpu.parallel.mesh import shard_batch
 
             n = data["lq"].shape[0] * jax.process_count()
@@ -227,10 +268,14 @@ class SRModel:
                     f"(build_dataloader does this when given the mesh)")
             data = shard_batch(data, self.mesh)
         self.state, logs = self._train_step(self.state, data, rng)
-        # publish the trained params to the inference path
-        self.params = self.state.params
-        if self.ema_decay > 0:
-            self.ema_params = self.state.ema_params
+        # publish the trained params to the inference path (PP merges
+        # lazily — every-step merging would materialize a replicated copy)
+        if getattr(self, "_pp_mode", False):
+            self._pp_params_stale = True
+        else:
+            self.params = self.state.params
+            if self.ema_decay > 0:
+                self.ema_params = self.state.ema_params
         self.log_dict = logs  # device arrays; get_current_log syncs
 
     def current_lrs(self, current_iter: int):
@@ -243,6 +288,7 @@ class SRModel:
 
         import numpy as np
 
+        self._sync_from_state()
         tree = {"params": jax.tree.map(np.asarray, self.params),
                 "epoch": epoch, "iter": current_iter}
         if self.ema_params is not None:
@@ -263,6 +309,7 @@ class SRModel:
         # replicate the whole resumed run (computation follows data)
         mesh = getattr(self, "mesh", None)
         use_tp = mesh is not None and int(mesh.shape.get("model", 1)) > 1
+        use_pp = getattr(self, "_pp_mode", False)
         if use_tp:
             from super_resolution_tpu.parallel.tp import shard_params_tp
 
@@ -277,20 +324,32 @@ class SRModel:
             opt_state = self.state.opt_state
             if "opt_state" in tree:
                 # setup_training built self.state under the mesh, so its
-                # leaves carry the target layout (TP-sharded moments);
-                # device_put the loaded arrays straight onto it
+                # leaves carry the target layout (TP-sharded / PP-stacked
+                # moments); device_put the loaded arrays straight onto it
                 old_leaves = jax.tree.leaves(self.state.opt_state)
                 leaves = [
                     jax.device_put(np.asarray(v), old.sharding)
-                    if use_tp and hasattr(old, "sharding")
+                    if (use_tp or use_pp) and hasattr(old, "sharding")
                     else jnp.asarray(v)
                     for v, old in zip(tree["opt_state"], old_leaves)]
                 opt_state = jax.tree.unflatten(
                     jax.tree.structure(self.state.opt_state), leaves)
+            state_params = self.params
+            ema = self.ema_params if self.ema_decay > 0 else None
+            if use_pp:
+                # checkpoints hold the plain flax tree; train state wants
+                # the {'stages','rest'} layout sharded over 'pipe'
+                from super_resolution_tpu.parallel.pipeline import \
+                    init_pp_params
+
+                state_params = init_pp_params(self.net_g, self.params, mesh)
+                if ema is not None:
+                    ema = init_pp_params(self.net_g, ema, mesh)
+                self._pp_params_stale = False
             self.state = TrainState(
                 step=jnp.asarray(tree["iter"], jnp.int32),
-                params=self.params,
-                ema_params=self.ema_params if self.ema_decay > 0 else None,
+                params=state_params,
+                ema_params=ema,
                 opt_state=opt_state)
         return int(tree["epoch"]), int(tree["iter"])
 

@@ -158,6 +158,99 @@ def test_pp_train_step_matches_plain():
         jax.device_get(ref_state.ema_params), merged_ema)
 
 
+def test_fork_hat_pipelined_forward_matches_plain():
+    """Stage dispatch covers the flagship fork-HAT family too (head/tail
+    split on models/hat_arch.py)."""
+    from super_resolution_tpu.models.hat_arch import HAT
+
+    net = HAT(img_size=16, embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+              window_size=8, compress_ratio=4, squeeze_factor=8,
+              conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
+              drop_path_rate=0.0, upscale=2, upsampler="pixelshuffle")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    ref = jax.jit(net.apply)({"params": params}, x)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pipe",))
+    out = hat_classic_pipeline_forward(net, params, x, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_config_driven_pp_training(tmp_path):
+    """YAML `mesh: {pipe: 4}` drives GPipe training through run_train:
+    stage params/moments stay sharded over 'pipe', checkpoints round-trip
+    through the plain flax tree, and the eval path sees merged params."""
+    import cv2
+
+    from super_resolution_tpu.runtime.train_pipeline import run_train
+    from super_resolution_tpu.utils.matlab import imresize
+    from super_resolution_tpu.utils.options import process_options
+
+    gt_dir, lq_dir = tmp_path / "GT", tmp_path / "LQ"
+    gt_dir.mkdir(), lq_dir.mkdir()
+    rng = np.random.default_rng(13)
+    for i in range(2):
+        gt = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        lr = imresize(gt.astype(np.float32) / 255.0, 0.5)
+        cv2.imwrite(str(gt_dir / f"t{i}.png"), gt)
+        cv2.imwrite(str(lq_dir / f"t{i}.png"),
+                    (np.clip(lr, 0, 1) * 255).round().astype(np.uint8))
+
+    opt = {
+        "name": "pp_smoke", "model_type": "SRModel", "scale": 2,
+        "num_gpu": 1, "manual_seed": 0,
+        "mesh": {"pipe": 4},
+        "network_g": {"type": "HATClassic", "img_size": 16, "embed_dim": 16,
+                      "depths": [1, 1, 1, 1], "num_heads": [2, 2, 2, 2],
+                      "window_size": 8, "compress_ratio": 4,
+                      "squeeze_factor": 8, "conv_scale": 0.01,
+                      "overlap_ratio": 0.5, "mlp_ratio": 2.0,
+                      "drop_path_rate": 0.0, "upscale": 2},
+        "datasets": {
+            "train": {"name": "synth", "type": "PairedImageDataset",
+                      "dataroot_gt": str(gt_dir), "dataroot_lq": str(lq_dir),
+                      "gt_size": 32, "use_hflip": False, "use_rot": False,
+                      "batch_size_per_gpu": 4, "dataset_enlarge_ratio": 2,
+                      "io_backend": {"type": "disk"}},
+        },
+        "train": {"optim_g": {"type": "Adam", "lr": 2e-4,
+                              "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                                "gamma": 0.5},
+                  "total_iter": 2, "warmup_iter": -1, "ema_decay": 0.999,
+                  "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
+                                "reduction": "mean"}},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2,
+                   "use_tb_logger": False},
+        "path": {"pretrain_network_g": None,
+                 "experiments_root": str(tmp_path / "exp")},
+    }
+    opt = process_options(opt, str(tmp_path), is_train=True)
+    model, final_iter = run_train(opt)
+    assert final_iter >= 2
+    assert np.isfinite(float(model.get_current_log()["l_pix"]))
+    stage_leaf = jax.tree.leaves(model.state.params["stages"])[0]
+    assert stage_leaf.addressable_shards[0].data.shape[0] == 1
+    # the eval path must see the merged (flax-layout) trained params
+    merged = model.eval_params()
+    assert "layers_0" in merged and "stages" not in merged
+    # checkpoint saved the plain tree; resume rebuilds the PP layout
+    import glob
+
+    ckpts = glob.glob(str(tmp_path / "exp" / "pp_smoke" / "models"
+                          / "net_g_*"))
+    assert ckpts
+    _, it = model.resume_training(ckpts[-1])
+    assert it == 2
+    leaf2 = jax.tree.leaves(model.state.params["stages"])[0]
+    assert leaf2.addressable_shards[0].data.shape[0] == 1
+    model.optimize_parameters(
+        {"lq": np.zeros((4, 16, 16, 3), np.float32),
+         "gt": np.zeros((4, 32, 32, 3), np.float32)}, it + 1)
+    assert np.isfinite(float(model.get_current_log()["l_pix"]))
+
+
 def test_hat_classic_pipeline_rejects_ragged_groups():
     from super_resolution_tpu.models.hat_classic_arch import HATClassic
 
