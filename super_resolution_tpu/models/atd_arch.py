@@ -253,7 +253,7 @@ class ATDTransformerLayer(nn.Module):
         else:
             shifted_qkv, mask = qkv, None
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled as _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             attention_window_supported
         if (_pallas_attention_enabled() and not self.is_initializing()

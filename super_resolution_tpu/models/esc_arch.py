@@ -210,7 +210,7 @@ class WindowAttentionESC(nn.Module):
 
         hp, wp = x.shape[1], x.shape[2]
         bias = self.relative_position_bias[:, self._rpe_idx]   # (heads, N, N)
-        from super_resolution_tpu.ops.attention import _pallas_attention_enabled
+        from super_resolution_tpu.ops.attention import fused_route_enabled as _pallas_attention_enabled
         pallas_on = self.use_pallas or _pallas_attention_enabled()
         from super_resolution_tpu.ops.pallas_attention import \
             msa_block_supported

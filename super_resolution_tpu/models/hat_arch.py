@@ -345,10 +345,10 @@ class OCAB(nn.Module):
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
 
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
-        fused_route = (_pallas_attention_enabled()
+        fused_route = (fused_route_enabled()
                        and not self.is_initializing()
                        and ocab_attention_supported(ws, ow, self.num_heads)
                        and h % ws == 0 and w % ws == 0)

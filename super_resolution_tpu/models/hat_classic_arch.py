@@ -229,7 +229,17 @@ class HABClassic(nn.Module):
                 self.num_heads, ws, d ** -0.5, float(self.conv_scale))
         from super_resolution_tpu.ops.pallas_attention import \
             msa_block_supported
-        if (_pallas_attention_enabled() and not self.is_initializing()
+        from super_resolution_tpu.parallel.tp import tp_attention_ctx
+
+        tp_ctx = tp_attention_ctx()
+        # under TP the fused route requires the head-parallel composition
+        # (heads divisible by the model axis); otherwise the qkv/proj
+        # weights carry the Megatron layout and the XLA path lets GSPMD
+        # contract them sharded (a pallas_call would all-gather them)
+        tp_route_ok = (tp_ctx is None or self.num_heads
+                       % int(tp_ctx[0].shape[tp_ctx[1]]) == 0)
+        if (_pallas_attention_enabled() and tp_route_ok
+                and not self.is_initializing()
                 and ws % 8 == 0 and hh % ws == 0 and ww % ws == 0
                 and msa_block_supported(ws, shifted.dtype)):
             # fused (S)W-MSA block megakernel: qkv projection, partition,
@@ -247,10 +257,23 @@ class HABClassic(nn.Module):
                         else jnp.zeros((1, n, n), jnp.float32))
             qkv_p = at.qkv.variables["params"]
             proj_p = at.proj.variables["params"]
-            shifted = fused_msa_block_ad(
-                shifted, qkv_p["kernel"], qkv_p["bias"], proj_p["kernel"],
-                proj_p["bias"], bias, mask_arr, self.num_heads, ws,
-                d ** -0.5)
+            if tp_ctx is not None:
+                # tensor parallelism: heads sharded over the model axis,
+                # same fused kernel per head slice, one psum
+                # (parallel/tp_attention.py)
+                from super_resolution_tpu.parallel.tp_attention import \
+                    head_parallel_msa_block
+
+                shifted = head_parallel_msa_block(
+                    shifted, qkv_p["kernel"], qkv_p["bias"],
+                    proj_p["kernel"], proj_p["bias"], bias, mask_arr,
+                    heads=self.num_heads, window_size=ws,
+                    mesh=tp_ctx[0], axis=tp_ctx[1], scale=d ** -0.5)
+            else:
+                shifted = fused_msa_block_ad(
+                    shifted, qkv_p["kernel"], qkv_p["bias"],
+                    proj_p["kernel"], proj_p["bias"], bias, mask_arr,
+                    self.num_heads, ws, d ** -0.5)
         else:
             x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
             attn_windows = self.attn(x_windows, mask=mask)
@@ -322,10 +345,10 @@ class OCABClassic(nn.Module):
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
 
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
-        if (_pallas_attention_enabled() and not self.is_initializing()
+        if (fused_route_enabled() and not self.is_initializing()
                 and ocab_attention_supported(ws, ow, self.num_heads)
                 and h % ws == 0 and w % ws == 0):
             # OCAB block megakernel: LN1, q/kv projections (kv recomputed

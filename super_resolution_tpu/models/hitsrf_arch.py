@@ -135,7 +135,7 @@ class SCC(nn.Module):
         qv = self.qv(x)
 
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled as _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             scc_block_supported
         if (_pallas_attention_enabled() and not self.is_initializing()

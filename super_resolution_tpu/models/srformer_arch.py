@@ -177,7 +177,7 @@ class PSABlock(nn.Module):
             shifted, mask = x, None
 
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled as _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             bias_attention_supported
         if (_pallas_attention_enabled() and not self.is_initializing()

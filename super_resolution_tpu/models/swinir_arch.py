@@ -57,7 +57,7 @@ class SwinTransformerBlock(nn.Module):
             shifted, mask = x, None
 
         from super_resolution_tpu.ops.attention import \
-            _pallas_attention_enabled
+            fused_route_enabled as _pallas_attention_enabled
         from super_resolution_tpu.ops.pallas_attention import \
             msa_block_supported
         if (_pallas_attention_enabled() and not self.is_initializing()

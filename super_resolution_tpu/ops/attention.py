@@ -150,6 +150,21 @@ def _pallas_attention_enabled() -> bool:
     return jax.default_backend() == "tpu" and _PALLAS_DEFAULT_ON_TPU
 
 
+def fused_route_enabled() -> bool:
+    """_pallas_attention_enabled AND not under tensor parallelism.
+
+    The gate for fused megakernel routes whose weights GSPMD shards under
+    TP (OCAB / SwinIR / SRFormer / ATD / HiT-SRF / ESC): a pallas_call has
+    no GSPMD partitioning rule, so feeding it column/row-sharded weights
+    would force an all-gather at the kernel boundary — the XLA path lets
+    GSPMD keep the Megatron layout. The HATClassic W-MSA route does NOT
+    use this gate: it composes with TP head-parallel
+    (parallel/tp_attention.py)."""
+    from super_resolution_tpu.parallel.tp import tp_active
+
+    return _pallas_attention_enabled() and not tp_active()
+
+
 # Measured on v5e (scripts/compare_attn.py, bw=2048 bf16):
 #   OCAB ws16 Nq256/Nk576: XLA 68.9 ms, Pallas 67.4 ms (+2.2%)
 #   MSA  ws16 Nq256/Nk256: XLA 48.2 ms, Pallas 47.5 ms (+1.6%)

@@ -752,28 +752,33 @@ fused_ocab_block_ad.defvjp(_ocab_block_ad_fwd, _ocab_block_ad_bwd)
 def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                       bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
                       scale: float, wb: int):
-    c = x_ref.shape[-1]
-    d = c // heads
+    # c_loc < c_in when the caller runs a head slice (tensor-parallel
+    # attention, parallel/tp_attention.py): w_qkv is (c_in, 3*c_loc) with
+    # `heads` local heads, w_proj (c_loc, c_out) a row-parallel partial
+    c_in = x_ref.shape[-1]
+    c_loc = wqkv_ref.shape[-1] // 3
+    c_out = wproj_ref.shape[-1]
+    d = c_loc // heads
     n = ws * ws
     # wb adjacent windows per program: the qkv/proj matmuls run once over
     # all wb windows (M = wb*N rows feeds the MXU better than N=256), the
     # attention middle loops per window
-    x = x_ref[0].reshape(wb * n, c)
+    x = x_ref[0].reshape(wb * n, c_in)
     # qkv projection on the MXU, f32 accumulate, bf16 operands
     qkv = jax.lax.dot_general(
         x, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
-    qkv_img = qkv.reshape(ws, wb * ws, 3 * c)
+    qkv_img = qkv.reshape(ws, wb * ws, 3 * c_loc)
     o_cols = []
     for w_i in range(wb):
-        xw = qkv_img[:, w_i * ws:(w_i + 1) * ws].reshape(n, 3 * c)
+        xw = qkv_img[:, w_i * ws:(w_i + 1) * ws].reshape(n, 3 * c_loc)
         m = mask_ref[w_i].astype(jnp.float32)
         outs = []
         for h in range(heads):
             q = xw[:, h * d:(h + 1) * d]
-            k = xw[:, c + h * d:c + (h + 1) * d]
-            v = xw[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            k = xw[:, c_loc + h * d:c_loc + (h + 1) * d]
+            v = xw[:, 2 * c_loc + h * d:2 * c_loc + (h + 1) * d]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -786,14 +791,14 @@ def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         o_cols.append(jnp.concatenate(outs, axis=-1)
-                      .astype(x.dtype).reshape(ws, ws, c))
+                      .astype(x.dtype).reshape(ws, ws, c_loc))
     o = (o_cols[0] if wb == 1
-         else jnp.concatenate(o_cols, axis=1)).reshape(wb * n, c)
+         else jnp.concatenate(o_cols, axis=1)).reshape(wb * n, c_loc)
     o = jax.lax.dot_general(
         o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o = o + bproj_ref[0].astype(jnp.float32)
-    o_ref[0] = o.reshape(ws, wb * ws, c).astype(o_ref.dtype)
+    o_ref[0] = o.reshape(ws, wb * ws, c_out).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
@@ -826,7 +831,12 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
     """
     b, h_img, w_img, c = x_img.shape
     ws = window_size
-    d = c // heads
+    # c_loc/c_out differ from c when running a head slice (tensor-parallel
+    # attention, parallel/tp_attention.py): w_qkv (c, 3*c_loc) projects
+    # onto `heads` local heads and w_proj (c_loc, c_out) is row-parallel
+    c_loc = w_qkv.shape[1] // 3
+    c_out = w_proj.shape[1]
+    d = c_loc // heads
     if scale is None:
         scale = d ** -0.5
     if interpret is None:
@@ -840,8 +850,8 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
     wb = window_block if window_block else _DEFAULT_MSA_WB
     while wb > 1 and nwx % wb:
         wb -= 1
-    b_qkv2 = b_qkv.reshape(1, 3 * c)
-    b_proj2 = b_proj.reshape(1, c)
+    b_qkv2 = b_qkv.reshape(1, 3 * c_loc)
+    b_proj2 = b_proj.reshape(1, c_out)
     mask_blk = mask if masked else jnp.zeros((wb, n, n), jnp.float32)
     grid = (b, nwy, nwx // wb)
     out = pl.pallas_call(
@@ -852,13 +862,13 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
             pl.BlockSpec((1, ws, wb * ws, c),
                          lambda bb, i, j: (bb, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((c, 3 * c_loc), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((1, 3 * c_loc), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((c_loc, c_out), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((1, c_out), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -868,10 +878,11 @@ def fused_msa_block(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, *,
                          if masked else (lambda bb, i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, wb * ws, c),
+        out_specs=pl.BlockSpec((1, ws, wb * ws, c_out),
                                lambda bb, i, j: (bb, i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x_img.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c_out),
+                                       x_img.dtype),
         interpret=interpret,
     )(x_img, w_qkv, b_qkv2, w_proj, b_proj2, bias, mask_blk)
     return out

@@ -254,6 +254,13 @@ def ffn_fused_enabled() -> bool:
 
     import jax
 
+    from super_resolution_tpu.parallel.tp import tp_active
+
+    if tp_active():
+        # under tensor parallelism the fc1/fc2 weights carry the Megatron
+        # column/row layout; the XLA path lets GSPMD contract them sharded
+        # (a pallas_call would all-gather them every block)
+        return False
     mode = os.environ.get("SR_TPU_FFN", "auto").lower()
     if mode == "fused":
         return True

@@ -21,9 +21,13 @@ Convolutions (CAB, shallow/tail convs) and norms are replicated: they are
 <10% of block FLOPs and channel-sharded convs would reshard at every
 window<->image boundary.
 
-NOTE: the fused Pallas megakernels consume whole weight matrices inside
-one pallas_call and carry no GSPMD partitioning rule, so TP runs use the
-pure-XLA attention path (SR_TPU_ATTN=xla); `shard_params_tp` asserts this.
+The fused Pallas megakernels compose with TP via HEAD parallelism
+(parallel/tp_attention.py): while `tp_attention(mesh)` is active, the
+window-attention modules route through a shard_map in which each device
+slices its head group's qkv columns / proj rows out of the (replicated)
+weights and runs the fused kernel on its slice; the row-parallel proj
+partials psum over 'model'. The fused FFN/OCAB routes fall back to XLA
+under TP (tp_active()) so GSPMD shards their Megatron-laid-out weights.
 
 Expert parallelism has no target in this framework: the reference has no
 MoE layer (ATD's token dictionary is a shared learned basis, not routed
@@ -33,13 +37,43 @@ axis.
 
 from __future__ import annotations
 
-import os
+import contextlib
+import contextvars
 from typing import Any
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Active while a TP model is being TRACED (jit tracing happens inside the
+# step/forward call, so wrapping the call covers it): window-attention
+# modules route their fused-kernel path head-parallel over the mesh, and
+# the fused FFN/OCAB routes yield to XLA+GSPMD. A contextvar instead of a
+# process-global (or the old SR_TPU_ATTN=xla env mutation) so one TP model
+# cannot leak routing into later models in the same process.
+_TP_ATTN_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "sr_tpu_tp_attention", default=None)
+
+
+@contextlib.contextmanager
+def tp_attention(mesh: Mesh | None, axis: str = "model"):
+    """Route fused window attention head-parallel over mesh[axis] for
+    traces performed inside this context (no-op if mesh is None)."""
+    token = _TP_ATTN_CTX.set(None if mesh is None else (mesh, axis))
+    try:
+        yield
+    finally:
+        _TP_ATTN_CTX.reset(token)
+
+
+def tp_attention_ctx():
+    """(mesh, axis) while inside tp_attention, else None."""
+    return _TP_ATTN_CTX.get()
+
+
+def tp_active() -> bool:
+    return _TP_ATTN_CTX.get() is not None
 
 # module names whose Dense kernels are column-parallel (out dim sharded) /
 # row-parallel (in dim sharded). Covers HAT/HATClassic/HATX/SwinIR/
@@ -89,20 +123,26 @@ def _divisible(spec: P, leaf, mesh: Mesh, axis: str) -> P:
     return spec
 
 
-def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model",
+                    head_parallel_attn: bool = False) -> Any:
     """device_put `params` with the TP layout over `mesh[axis]`.
 
     Returns the sharded pytree; all non-matching params replicated over the
     whole mesh (so a ('data','model') mesh sees DP-replicated, TP-sharded
-    weights — the standard DP x TP rectangle)."""
-    if os.environ.get("SR_TPU_ATTN", "").lower() == "pallas":
-        raise RuntimeError(
-            "TP shards the qkv/proj weights across chips; the fused Pallas "
-            "attention kernels need them whole in VMEM. Unset SR_TPU_ATTN "
-            "or set it to 'xla' for TP runs.")
+    weights — the standard DP x TP rectangle).
+
+    head_parallel_attn: keep the window-MSA in/out projections
+    (`.../attn/{qkv,proj}`) replicated — the head-parallel fused-kernel
+    route (parallel/tp_attention.py) slices them per device inside its
+    shard_map, so a GSPMD column/row sharding would only force an
+    all-gather at the shard_map boundary."""
 
     def put(path, leaf):
-        spec = _divisible(tp_spec(path, leaf, axis), leaf, mesh, axis)
+        names = _path_names(path)
+        if head_parallel_attn and len(names) >= 3 and names[-3] == "attn":
+            spec = P()
+        else:
+            spec = _divisible(tp_spec(path, leaf, axis), leaf, mesh, axis)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)

@@ -121,13 +121,27 @@ class SRModel:
                 or self.opt.get("inference_dtype"))
         return resolve_dtype(name)
 
+    def _with_tp_ctx(self, thunk):
+        """Run thunk under the TP attention context when this runner
+        trains tensor-parallel — jit TRACES inside the call, so the
+        context reaches the route decisions without leaking into other
+        models in the process (parallel/tp.py::tp_attention)."""
+        mesh = getattr(self, "_tp_attn_mesh", None)
+        if mesh is None:
+            return thunk()
+        from super_resolution_tpu.parallel.tp import tp_attention
+
+        with tp_attention(mesh):
+            return thunk()
+
     def _apply_fn(self) -> Callable:
         if "apply" not in self._apply_cache:
             net = self.net_g
             from super_resolution_tpu.utils.precision import wrap_apply
 
             fwd = wrap_apply(
-                lambda params, x: net.apply({"params": params}, x),
+                lambda params, x: self._with_tp_ctx(
+                    lambda: net.apply({"params": params}, x)),
                 self.inference_dtype())
             self._apply_cache["apply"] = jax.jit(fwd)
         return self._apply_cache["apply"]
@@ -206,19 +220,26 @@ class SRModel:
             self._pp_params_stale = True
         elif use_tp:
             # Megatron TP (parallel/tp.py): transformer matmuls sharded
-            # over 'model', GSPMD inserts the collectives. The fused
-            # Pallas kernels need whole weight matrices in VMEM, so the
-            # attention path is pinned to XLA for this process.
-            import os
-
-            from super_resolution_tpu.utils.logger import get_root_logger
+            # over 'model', GSPMD inserts the collectives. The fused MSA
+            # megakernels compose via HEAD parallelism (shard_map slices
+            # the replicated attn weights per device —
+            # parallel/tp_attention.py); the other fused routes yield to
+            # XLA while tp_attention() is active (trace-time contextvar,
+            # no process-global env mutation).
+            from super_resolution_tpu.ops.attention import \
+                _pallas_attention_enabled
             from super_resolution_tpu.parallel.tp import shard_params_tp
 
-            if os.environ.get("SR_TPU_ATTN", "").lower() == "pallas":
-                get_root_logger().warning(
-                    "tensor parallelism overrides SR_TPU_ATTN=pallas -> xla")
-            os.environ["SR_TPU_ATTN"] = "xla"
-            self.params = shard_params_tp(self.params, mesh)
+            self._tp_attn_mesh = mesh
+            head_par = False
+            if _pallas_attention_enabled():
+                heads = self.opt["network_g"].get("num_heads") or ()
+                ntp = int(mesh.shape["model"])
+                head_par = bool(heads) and all(
+                    int(h) % ntp == 0 for h in np.atleast_1d(heads))
+            self._tp_head_par = head_par
+            self.params = shard_params_tp(self.params, mesh,
+                                          head_parallel_attn=head_par)
             # under jit the optimizer/EMA state inherits the param layout
             self.state = jax.jit(lambda p: init_train_state(
                 p, self.tx, self.ema_decay))(self.params)
@@ -267,7 +288,8 @@ class SRModel:
                     f"batch_size_per_gpu x devices is loaded per step "
                     f"(build_dataloader does this when given the mesh)")
             data = shard_batch(data, self.mesh)
-        self.state, logs = self._train_step(self.state, data, rng)
+        self.state, logs = self._with_tp_ctx(
+            lambda: self._train_step(self.state, data, rng))
         # publish the trained params to the inference path (PP merges
         # lazily — every-step merging would materialize a replicated copy)
         if getattr(self, "_pp_mode", False):
@@ -313,11 +335,14 @@ class SRModel:
         if use_tp:
             from super_resolution_tpu.parallel.tp import shard_params_tp
 
-            self.params = shard_params_tp(self.params, mesh)
+            head_par = getattr(self, "_tp_head_par", False)
+            self.params = shard_params_tp(self.params, mesh,
+                                          head_parallel_attn=head_par)
         if "params_ema" in tree:
             self.ema_params = jax.tree.map(jnp.asarray, tree["params_ema"])
             if use_tp:
-                self.ema_params = shard_params_tp(self.ema_params, mesh)
+                self.ema_params = shard_params_tp(
+                    self.ema_params, mesh, head_parallel_attn=head_par)
         if getattr(self, "state", None) is not None:
             from super_resolution_tpu.runtime.train_loop import TrainState
 

@@ -135,14 +135,6 @@ def test_nondivisible_dims_fall_back_to_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_pallas_attn_mode_rejected(net_and_params, monkeypatch):
-    _, params = net_and_params
-    monkeypatch.setenv("SR_TPU_ATTN", "pallas")
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("model",))
-    with pytest.raises(RuntimeError, match="Pallas"):
-        shard_params_tp(params, mesh)
-
-
 def test_config_driven_tp_training(tmp_path):
     """YAML `mesh: {data: 4, model: 2}` drives a DP x TP training run
     through the full pipeline (runtime/train_pipeline.py wiring)."""
