@@ -34,6 +34,7 @@ from super_resolution_tpu.models.esc_arch import ConvAttnWrapper, orthogonal_oih
 from super_resolution_tpu.ops.attention import (attention_with_bias_auto, attention_with_bias,
                                                 relative_position_index_oca)
 from super_resolution_tpu.ops.pixelshuffle import pixel_shuffle
+from super_resolution_tpu.ops.streamed_tail import streamed_rows
 from super_resolution_tpu.ops.windowing import (extract_overlap_windows,
                                                 window_partition, window_reverse)
 from super_resolution_tpu.utils.registry import ARCH_REGISTRY
@@ -553,6 +554,10 @@ class HAT(nn.Module):
     # group-boundary activations (the TPU analog of the reference's
     # use_checkpoint, hatx_arch.py:546-551)
     use_checkpoint: bool = False
+    # >0: stream the reconstruction tail over row bands of this height so
+    # the upsampler's conv->pixel-shuffle peak (the widest activation of
+    # tiled inference) shrinks ~H/band-fold (ops/streamed_tail.py). Exact.
+    stream_tail_rows: int = 0
 
     def setup(self):
         if self.upsampler != "pixelshuffle":
@@ -632,11 +637,19 @@ class HAT(nn.Module):
         if self.conv_after_body is not None:
             body = self.conv_after_body(body)
         feat = body + feat
-        y = nn.leaky_relu(self.conv_before_upsample_0(feat),
-                          negative_slope=0.01)
-        for conv, r in zip(self.upsample_convs, self.upsample_factors):
-            y = pixel_shuffle(conv(y), r)
-        y = self.conv_last(y)
+
+        def recon(f):
+            y = nn.leaky_relu(self.conv_before_upsample_0(f),
+                              negative_slope=0.01)
+            for conv, r in zip(self.upsample_convs, self.upsample_factors):
+                y = pixel_shuffle(conv(y), r)
+            return self.conv_last(y)
+
+        if self.stream_tail_rows and not self.is_initializing():
+            y = streamed_rows(recon, feat, self.upscale,
+                              self.stream_tail_rows)
+        else:
+            y = recon(feat)
         return MeanShift.denormalize(y, self.img_range)
 
     def __call__(self, x, deterministic: bool = True):

@@ -311,6 +311,20 @@ def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
+def _mlp_auto_rows(w: int, c: int, hid: int) -> int:
+    """Rows per program for the fused MLP tails, bounded by the ~16 MB
+    Mosaic scoped-VMEM stack. Anchored to a measured point: th=8 at
+    W=384 / C=180 / HID=360 allocates 20.18M (AOT OOM error, r4) —
+    i.e. ~2 bytes per element for each bf16 image block plus ~4 bytes for
+    each of the f32 temporaries (x-sum, fc1 out, gelu, fc2 out). Budget
+    13M leaves headroom for Mosaic's own spills. th=8 was measured best
+    at the bench band width (scripts/compare_ffn.py); wider tiles scale
+    it down instead of OOMing (a fixed th=8 dies beyond ~W=300 at the
+    sum3 kernel's 4-image footprint)."""
+    bytes_per_row = w * (4 * 2 * c + 4 * (2 * c + 2 * hid))
+    return max(1, min(8, int(13e6 // bytes_per_row)))
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
 def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
               tile_rows: int = 0, interpret: bool | None = None):
@@ -328,9 +342,7 @@ def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
     hid = w1.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # measured best th=8 at W<=384 (scripts/compare_ffn.py); keep the
-    # per-program row-pixel count at that level as width grows
-    th = tile_rows or max(1, min(8, (8 * 384) // w))
+    th = tile_rows or _mlp_auto_rows(w, c, hid)
     pad_r = (-h) % th
     if pad_r:
         x = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
@@ -426,7 +438,7 @@ def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
     hid = w1.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    th = tile_rows or max(1, min(8, (8 * 384) // w))
+    th = tile_rows or _mlp_auto_rows(w, c, hid)
     pad_r = (-h) % th
     if pad_r:
         pads = ((0, 0), (0, pad_r), (0, 0), (0, 0))
