@@ -54,6 +54,23 @@ def paired_paths_from_folders(lq_folder: str, gt_folder: str,
     return paths
 
 
+def paired_paths_from_lmdb(lq_folder: str, gt_folder: str):
+    """Keys from the meta_info.txt the lmdb packer writes next to data.mdb
+    (ref: data_util.py::paired_paths_from_lmdb; lmdb_util.py:78-87)."""
+    if not (lq_folder.endswith(".lmdb") and gt_folder.endswith(".lmdb")):
+        raise ValueError("lmdb io_backend requires both dataroots to be "
+                         f".lmdb folders, got {lq_folder} / {gt_folder}")
+
+    def read_keys(folder):
+        with open(osp.join(folder, "meta_info.txt")) as f:
+            return [line.split(".")[0] for line in f if line.strip()]
+
+    lq_keys, gt_keys = read_keys(lq_folder), read_keys(gt_folder)
+    if set(lq_keys) != set(gt_keys):
+        raise ValueError("LQ and GT lmdbs hold different key sets")
+    return [{"lq_path": k, "gt_path": k} for k in sorted(gt_keys)]
+
+
 def paired_paths_from_meta_info(lq_folder: str, gt_folder: str,
                                 meta_info_file: str, filename_tmpl: str = "{}"):
     """Build pairs from a meta_info txt listing GT names
@@ -79,7 +96,17 @@ class PairedImageDataset:
         self.gt_folder = opt["dataroot_gt"]
         self.lq_folder = opt["dataroot_lq"]
         self.filename_tmpl = opt.get("filename_tmpl", "{}")
-        if opt.get("meta_info_file"):
+        io_backend = dict(opt.get("io_backend") or {"type": "disk"})
+        self._file_client = None
+        if io_backend.get("type") == "lmdb":
+            from super_resolution_tpu.utils.file_client import FileClient
+
+            self.paths = paired_paths_from_lmdb(self.lq_folder,
+                                                self.gt_folder)
+            self._file_client = FileClient(
+                "lmdb", db_paths=[self.lq_folder, self.gt_folder],
+                client_keys=["lq", "gt"])
+        elif opt.get("meta_info_file"):
             self.paths = paired_paths_from_meta_info(
                 self.lq_folder, self.gt_folder, opt["meta_info_file"],
                 self.filename_tmpl)
@@ -99,8 +126,16 @@ class PairedImageDataset:
     def __getitem__(self, index: int) -> dict:
         scale = self.opt["scale"]
         p = self.paths[index]
-        img_gt = img2tensor(imread(p["gt_path"], float32=True))
-        img_lq = img2tensor(imread(p["lq_path"], float32=True))
+        if self._file_client is not None:
+            from super_resolution_tpu.utils.img import imfrombytes
+
+            img_gt = img2tensor(imfrombytes(
+                self._file_client.get(p["gt_path"], "gt"), float32=True))
+            img_lq = img2tensor(imfrombytes(
+                self._file_client.get(p["lq_path"], "lq"), float32=True))
+        else:
+            img_gt = img2tensor(imread(p["gt_path"], float32=True))
+            img_lq = img2tensor(imread(p["lq_path"], float32=True))
 
         if self.opt["phase"] == "train":
             gt_size = self.opt["gt_size"]

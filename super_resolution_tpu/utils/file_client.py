@@ -46,11 +46,10 @@ class LmdbBackend:
                  lock=False, readahead=False, **kwargs):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "lmdb is not installed in this environment. Use the "
-                "'rawpack' backend (native decode-free packed datasets, "
-                "data/rawpack_dataset.py) or install python-lmdb.") from e
+        except ImportError:
+            # pure-Python implementation of the LMDB on-disk format —
+            # the backend executes even without python-lmdb
+            from super_resolution_tpu.utils import mdb as lmdb
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, (list, tuple)):
@@ -168,7 +167,9 @@ class FileClient:
             self._backends[backend]()
 
     def get(self, filepath, client_key: str | None = None):
-        if self.backend == "rawpack":
+        if self.backend in ("rawpack", "lmdb"):
+            # multi-env backends dispatch on the client key
+            # (ref: file_client.py:158-162)
             return self.client.get(filepath, client_key or "default")
         return self.client.get(filepath)
 

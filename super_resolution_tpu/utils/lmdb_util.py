@@ -18,11 +18,10 @@ from os import path as osp
 def _require_lmdb():
     try:
         import lmdb
-    except ImportError as e:
-        raise ImportError(
-            "python-lmdb is required for lmdb dataset creation; this "
-            "environment ships the native RawPack format instead "
-            "(scripts/pack_dataset.py).") from e
+    except ImportError:
+        # fall back to the in-tree pure-Python LMDB format implementation
+        # (utils/mdb.py) so dataset packing works without python-lmdb
+        from super_resolution_tpu.utils import mdb as lmdb
     return lmdb
 
 

@@ -185,11 +185,9 @@ def test_edvr_model_train_smoke(tmp_path):
 
 
 def test_lmdb_roundtrip(tmp_path):
-    """LmdbMaker -> LmdbBackend roundtrip (skipped without python-lmdb;
-    the in-image equivalent is RawPack, covered by test_rawpack.py)."""
-    import pytest
-
-    pytest.importorskip("lmdb")
+    """LmdbMaker -> LmdbBackend roundtrip. Runs on the pure-Python LMDB
+    format implementation (utils/mdb.py) when python-lmdb is absent;
+    format-level coverage lives in test_mdb.py."""
     import cv2
 
     from super_resolution_tpu.utils.file_client import FileClient
