@@ -46,6 +46,17 @@ import numpy as np
 # Units: output Mpix/s.
 BASELINE_LOCAL_OUT_MPIX_S = 0.0053
 
+# PyTorch-CPU reference TRAIN-step throughput (scripts/baseline_torch_train.py
+# — the reference's own fork-HAT through one L1+Adam+EMA step at the recipe
+# shapes GT 256 / LQ 64 x4, batch 4: 296.2 s/step median of 2 after warmup,
+# torch 2.13.0+cpu, r4). Units: samples/s.
+BASELINE_TRAIN_SAMPLES_S = 0.0135
+
+# PyTorch-CPU reference GAN-step throughput (scripts/baseline_torch_gan.py —
+# the reference's own RealHATGANModel feed_data + optimize_parameters on CPU,
+# same shapes/losses as the bench GAN leg). Units: samples/s.
+BASELINE_GAN_SAMPLES_S = None  # filled when the offline measurement lands
+
 
 def _pair(s):
     return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
@@ -60,15 +71,19 @@ def _median_time(fn, reps=3):
     return float(np.median(times))
 
 
-def _activation_estimate_mb(chunk, t_y, t_x, c_embed, scale, dtype_bytes=2):
+def _activation_estimate_mb(chunk, t_y, t_x, c_embed, scale, dtype_bytes=2,
+                            stream_rows=0):
     """Analytic live-buffer estimate for one tile chunk (bf16): the widest
     point is the upsampler's conv->pixel-shuffle pair at the last stage;
     the body's deep features add ~3 concurrent C-channel maps (x, shortcut,
-    block out)."""
+    block out). With the row-streamed tail (ops/streamed_tail.py,
+    stream_rows > 0) the upsampler works on stream_rows + 2*halo rows at a
+    time instead of the whole tile height."""
     body = 3 * chunk * t_y * t_x * c_embed * dtype_bytes
     num_feat = 64
     peak_up = 0
-    ty, tx = t_y, t_x
+    ty = t_y if not stream_rows else min(t_y, stream_rows + 8)
+    tx = t_x
     s = scale
     while s > 1:
         conv_out = chunk * ty * tx * 4 * num_feat * dtype_bytes
@@ -80,6 +95,7 @@ def _activation_estimate_mb(chunk, t_y, t_x, c_embed, scale, dtype_bytes=2):
         "body_mb": round(body / 2 ** 20),
         "upsampler_peak_mb": round(peak_up / 2 ** 20),
         "output_mb": round(out_img / 2 ** 20),
+        "stream_tail_rows": stream_rows,
     }
 
 
@@ -122,13 +138,18 @@ def main():
     tile_pad = _pair(os.environ.get("BENCH_PAD", "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", 8))
     dtype = resolve_dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    # r4: row-streamed reconstruction tail (ops/streamed_tail.py) removes
+    # the upsampler's activation peak (was 5 GB at the r3 plan — the
+    # binding constraint on tile growth). 0 disables.
+    stream_rows = int(os.environ.get("BENCH_STREAM_TAIL", 64))
 
     # classic = the BASELINE protocol arch (official-ckpt HAT structure)
     arch = os.environ.get("BENCH_ARCH", "classic")
     kw = dict(img_size=64, embed_dim=180, depths=(6,) * 6,
               num_heads=(6,) * 6, window_size=16, compress_ratio=3,
               squeeze_factor=30, conv_scale=0.01, overlap_ratio=0.5,
-              mlp_ratio=2.0, upscale=scale, upsampler="pixelshuffle")
+              mlp_ratio=2.0, upscale=scale, upsampler="pixelshuffle",
+              stream_tail_rows=stream_rows)
     if arch == "classic":
         from super_resolution_tpu.models.hat_classic_arch import HATClassic
 
@@ -354,6 +375,8 @@ def main():
                 "train_amp_ms_per_step": round(tdt * 1e3, 1),
                 "train_amp_samples_s": round(tb / tdt, 2),
                 "train_amp_batch": tb,
+                "train_vs_baseline": round(
+                    tb / tdt / BASELINE_TRAIN_SAMPLES_S, 1),
             }
         except Exception as e:  # noqa: BLE001
             train_fields = {"train_bench_error": repr(e)[:200]}
@@ -395,7 +418,8 @@ def main():
     t_x = min((tile_size if isinstance(tile_size, int) else tile_size[1])
               + 2 * (tile_pad if isinstance(tile_pad, int) else tile_pad[1]), w)
     est = _activation_estimate_mb(chunk, t_y, t_x, 180, scale,
-                                  2 if dtype is not None else 4)
+                                  2 if dtype is not None else 4,
+                                  stream_rows=stream_rows)
     est["params_mb"] = round(sum(
         np.asarray(a).nbytes for a in jax.tree.leaves(params)) / 2 ** 20)
 
@@ -413,8 +437,11 @@ def main():
         "urban100_batched_unit": f"out_Mpix/s ({g}x 176x256 LR, "
                                  f"bucketed batch {uchunk} — the north-star "
                                  "regime, production eval path)",
-        "urban100_shape_value": round(uvalue, 3),
-        "urban100_shape_unit": "out_Mpix/s (176x256 LR, per-image regime)",
+        "legacy_urban100_per_image_value": round(uvalue, 3),
+        "legacy_urban100_per_image_unit": (
+            "out_Mpix/s (176x256 LR one image per step — superseded by "
+            "urban100_batched_value: the bucketed cross-image engine is the "
+            "production val path since r3)"),
         "peak_device_mem_mb": peak_mb,
         "est_activation_mb": est,
         **train_fields,

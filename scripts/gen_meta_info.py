@@ -80,15 +80,49 @@ def gen_video_meta(input_dir: str, output: str):
     return len(clips)
 
 
+# The REDS corpus is fully deterministic from the dataset's published
+# structure (270 train clips 000-269 x 100 frames of 720x1280x3; the
+# standard EDVR REDS4 test split and the official validation split), so
+# those listings can be generated without the dataset present. The
+# Vimeo90K and DF2K/DIV2K-sub listings depend on per-dataset contents
+# (clip-ID subsets / source image dims) and need --input instead.
+STANDARD = {
+    "meta_info_REDS_GT.txt": [f"{i:03d}" for i in range(270)],
+    "meta_info_REDS4_test_GT.txt": ["000", "011", "015", "020"],
+    "meta_info_REDSofficial4_test_GT.txt": ["240", "241", "246", "257"],
+    "meta_info_REDSval_official_test_GT.txt":
+        [f"{i:03d}" for i in range(240, 270)],
+}
+
+
+def gen_standard(out_dir: str):
+    os.makedirs(out_dir, exist_ok=True)
+    for fname, clips in STANDARD.items():
+        with open(os.path.join(out_dir, fname), "w") as out:
+            for clip in clips:
+                out.write(f"{clip} 100 (720,1280,3)\n")
+    return len(STANDARD)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="GT folder to list")
-    p.add_argument("--output", required=True, help="meta_info txt path")
+    p.add_argument("--input", help="GT folder to list")
+    p.add_argument("--output", help="meta_info txt path (or dir for "
+                                    "--standard)")
     p.add_argument("--video", action="store_true",
                    help="clip-folder format (REDS/Vimeo style)")
     p.add_argument("--recursive", action="store_true",
                    help="recurse into subfolders (image mode)")
+    p.add_argument("--standard", action="store_true",
+                   help="emit the deterministic REDS meta_info corpus "
+                        "into --output (a directory)")
     args = p.parse_args()
+    if args.standard:
+        n = gen_standard(args.output or "super_resolution_tpu/data/meta_info")
+        print(f"wrote {n} standard REDS meta files")
+        return
+    if not (args.input and args.output):
+        p.error("--input/--output required without --standard")
     if args.video:
         n = gen_video_meta(args.input, args.output)
         print(f"wrote {n} clips -> {args.output}")
