@@ -301,19 +301,28 @@ class RealHATGANModel(HATModel):
                     total += l_s
                     logs["l_g_style"] = l_s
             if cri_gan is not None and net_d is not None:
-                fake_pred = net_d.apply(
-                    {"params": d_params, "batch_stats": sn_stats}, sr)
+                # torch spectral_norm advances the power-iteration u on
+                # EVERY training-mode forward — including the G step's
+                # fake pass with frozen D (realhatgan_model.py:203-207);
+                # persist the iterated u/sigma so the cadence matches the
+                # reference's 3 updates per G+D iteration
+                fake_pred, vars_f = net_d.apply(
+                    {"params": d_params, "batch_stats": sn_stats}, sr,
+                    update_sn_stats=True, mutable=["batch_stats"])
+                sn_stats = vars_f["batch_stats"]
                 l_gan = cri_gan(fake_pred, True, is_disc=False)
                 total += l_gan
                 logs["l_g_gan"] = l_gan
             logs["l_g_total"] = total
-            return total, (logs, sr)
+            return total, (logs, sr, sn_stats)
 
         def g_step(state, lq, l1_gt, percep_gt, gan_gt, d_params, sn_stats):
             from super_resolution_tpu.runtime.train_loop import TrainState
 
-            (_, (logs, sr)), grads = jax.value_and_grad(g_loss, has_aux=True)(
-                state.params, lq, l1_gt, percep_gt, gan_gt, d_params, sn_stats)
+            (_, (logs, sr, sn_stats)), grads = \
+                jax.value_and_grad(g_loss, has_aux=True)(
+                    state.params, lq, l1_gt, percep_gt, gan_gt, d_params,
+                    sn_stats)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if ema_decay > 0:
@@ -322,8 +331,9 @@ class RealHATGANModel(HATModel):
                     state.ema_params, params)
             else:
                 ema = state.ema_params
-            return TrainState(step=state.step + 1, params=params,
-                              ema_params=ema, opt_state=opt_state), logs, sr
+            return (TrainState(step=state.step + 1, params=params,
+                               ema_params=ema, opt_state=opt_state),
+                    logs, sr, sn_stats)
 
         self._g_step = jax.jit(g_step)
 
@@ -333,15 +343,18 @@ class RealHATGANModel(HATModel):
                     {"params": d_params, "batch_stats": sn_stats}, gan_gt,
                     update_sn_stats=True, mutable=["batch_stats"])
                 l_real = cri_gan(real_pred, True, is_disc=True)
-                fake_pred = net_d.apply(
+                # fake pass also iterates u in torch (training-mode forward
+                # after l_d_real.backward(), srgan_model.py:128-133)
+                fake_pred, vars_f = net_d.apply(
                     {"params": d_params,
                      "batch_stats": vars_r["batch_stats"]},
-                    jax.lax.stop_gradient(sr))
+                    jax.lax.stop_gradient(sr),
+                    update_sn_stats=True, mutable=["batch_stats"])
                 l_fake = cri_gan(fake_pred, False, is_disc=True)
                 logs = {"l_d_real": l_real, "l_d_fake": l_fake,
                         "out_d_real": jnp.mean(real_pred),
                         "out_d_fake": jnp.mean(fake_pred)}
-                return l_real + l_fake, (logs, vars_r["batch_stats"])
+                return l_real + l_fake, (logs, vars_f["batch_stats"])
 
             def d_step(d_params, opt_state_d, sn_stats, sr, gan_gt):
                 (_, (logs, new_stats)), grads = jax.value_and_grad(
@@ -351,6 +364,16 @@ class RealHATGANModel(HATModel):
                 return d_params, opt_state_d, new_stats, logs
 
             self._d_step = jax.jit(d_step)
+
+        if ema_decay > 0:
+            # the reference runs model_ema EVERY iteration, including ones
+            # where the G step is gated off by net_d_iters/net_d_init_iters
+            # (srgan_model.py:140-141 is outside the gate) — the EMA still
+            # decays toward the unchanged params
+            self._ema_step = jax.jit(lambda state: state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                    state.ema_params, state.params)))
 
     def feed_data(self, data: dict):
         if self.is_train and self.high_order and "kernel1" in data:
@@ -379,13 +402,19 @@ class RealHATGANModel(HATModel):
                  and current_iter > self.net_d_init_iters)
         sr = None
         if run_g or self.net_d is None:
-            self.state, g_logs, sr = self._g_step(
+            self.state, g_logs, sr, new_sn = self._g_step(
                 self.state, self.lq, l1_gt, percep_gt, gan_gt,
                 getattr(self, "params_d", {}), getattr(self, "sn_stats", {}))
+            if self.net_d is not None:
+                self.sn_stats = new_sn
             self.params = self.state.params
             if self.ema_decay > 0:
                 self.ema_params = self.state.ema_params
             logs.update(g_logs)
+
+        if not (run_g or self.net_d is None) and self.ema_decay > 0:
+            self.state = self._ema_step(self.state)
+            self.ema_params = self.state.ema_params
 
         if self.net_d is not None:
             if sr is None:
@@ -484,6 +513,11 @@ def attach_gan_training(model, mesh=None, video: bool = False):
     def flat(x):
         return x.reshape((-1,) + x.shape[-3:]) if video else x
 
+    import inspect
+
+    has_sn_flag = "update_sn_stats" in inspect.signature(
+        net_d.__call__).parameters
+
     def g_loss(params, lq, gt, d_params, sn_stats):
         sr = net_g.apply({"params": params}, lq)
         logs = {}
@@ -500,17 +534,26 @@ def attach_gan_training(model, mesh=None, video: bool = False):
             if l_s is not None:
                 total += l_s
                 logs["l_g_style"] = l_s
-        fake_pred = net_d.apply({"params": d_params,
-                                 "batch_stats": sn_stats}, flat(sr))
+        if has_sn_flag:
+            # persist the power-iteration u like torch's training-mode
+            # forward does even with frozen D (see RealHATGANModel notes)
+            fake_pred, vars_f = net_d.apply(
+                {"params": d_params, "batch_stats": sn_stats}, flat(sr),
+                update_sn_stats=True, mutable=["batch_stats"])
+            sn_stats = vars_f["batch_stats"]
+        else:
+            fake_pred = net_d.apply({"params": d_params,
+                                     "batch_stats": sn_stats}, flat(sr))
         l_gan = cri_gan(fake_pred, True, is_disc=False)
         total += l_gan
         logs["l_g_gan"] = l_gan
         logs["l_g_total"] = total
-        return total, (logs, sr)
+        return total, (logs, sr, sn_stats)
 
     def g_step(state, lq, gt, d_params, sn_stats):
-        (_, (logs, sr)), grads = jax.value_and_grad(g_loss, has_aux=True)(
-            state.params, lq, gt, d_params, sn_stats)
+        (_, (logs, sr, sn_stats)), grads = \
+            jax.value_and_grad(g_loss, has_aux=True)(
+                state.params, lq, gt, d_params, sn_stats)
         if grad_mask is not None:
             grads = grad_mask(grads, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -520,15 +563,10 @@ def attach_gan_training(model, mesh=None, video: bool = False):
                                state.ema_params, params)
         else:
             ema = state.ema_params
-        return TrainState(step=state.step + 1, params=params, ema_params=ema,
-                          opt_state=opt_state), logs, sr
+        return (TrainState(step=state.step + 1, params=params, ema_params=ema,
+                           opt_state=opt_state), logs, sr, sn_stats)
 
     model._g_step = jax.jit(g_step)
-
-    import inspect
-
-    has_sn_flag = "update_sn_stats" in inspect.signature(
-        net_d.__call__).parameters
 
     def d_loss(d_params, sn_stats, sr, gt):
         if has_sn_flag:
@@ -541,8 +579,16 @@ def attach_gan_training(model, mesh=None, video: bool = False):
                                      "batch_stats": sn_stats}, flat(gt))
             new_stats = sn_stats
         l_real = cri_gan(real_pred, True, is_disc=True)
-        fake_pred = net_d.apply({"params": d_params, "batch_stats": new_stats},
-                                jax.lax.stop_gradient(flat(sr)))
+        if has_sn_flag:
+            fake_pred, vars_f = net_d.apply(
+                {"params": d_params, "batch_stats": new_stats},
+                jax.lax.stop_gradient(flat(sr)),
+                update_sn_stats=True, mutable=["batch_stats"])
+            new_stats = vars_f["batch_stats"]
+        else:
+            fake_pred = net_d.apply(
+                {"params": d_params, "batch_stats": new_stats},
+                jax.lax.stop_gradient(flat(sr)))
         l_fake = cri_gan(fake_pred, False, is_disc=True)
         logs = {"l_d_real": l_real, "l_d_fake": l_fake,
                 "out_d_real": jnp.mean(real_pred),
@@ -558,6 +604,14 @@ def attach_gan_training(model, mesh=None, video: bool = False):
 
     model._d_step = jax.jit(d_step)
 
+    if ema_decay > 0:
+        # reference model_ema runs every iteration even when the G step is
+        # gated off (srgan_model.py:140-141)
+        model._ema_step = jax.jit(lambda state: state.replace(
+            ema_params=jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                state.ema_params, state.params)))
+
 
 def gan_optimize_step(model, batch, current_iter: int):
     """One G/D alternation (ref: srgan_model.py:85-141)."""
@@ -567,12 +621,15 @@ def gan_optimize_step(model, batch, current_iter: int):
              and current_iter > model.net_d_init_iters)
     sr = None
     if run_g:
-        model.state, g_logs, sr = model._g_step(
+        model.state, g_logs, sr, model.sn_stats = model._g_step(
             model.state, model.lq, model.gt, model.params_d, model.sn_stats)
         model.params = model.state.params
         if model.ema_decay > 0:
             model.ema_params = model.state.ema_params
         logs.update(g_logs)
+    if not run_g and model.ema_decay > 0:
+        model.state = model._ema_step(model.state)
+        model.ema_params = model.state.ema_params
     if sr is None:
         sr = model.net_g.apply({"params": model.params}, model.lq)
     model.params_d, model.opt_state_d, model.sn_stats, d_logs = model._d_step(
