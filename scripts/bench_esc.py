@@ -34,8 +34,14 @@ ws = kw["window_size"]
 variables = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, ws, ws, 3)))
 pb = cast_floating(variables["params"], jnp.bfloat16)
 
-for attn in ("xla", "pallas"):
-    os.environ["SR_TPU_ATTN"] = attn
+legs = ["xla", "pallas"]
+if os.environ.get("ESC_XL") == "1":
+    legs += ["qtile", "flash"]   # large-window experimental routes (A/B)
+for attn in legs:
+    os.environ["SR_TPU_ATTN"] = "pallas" if attn in ("qtile", "flash") \
+        else attn
+    os.environ["SR_TPU_QTILE"] = "1" if attn == "qtile" else "0"
+    os.environ["SR_TPU_FLASH"] = "1" if attn == "flash" else "0"
     ab = wrap_apply(lambda p, t: fm.apply({"params": p}, t), jnp.bfloat16)
 
     @jax.jit

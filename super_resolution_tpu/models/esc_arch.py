@@ -236,8 +236,25 @@ class WindowAttentionESC(nn.Module):
         else:
             qkv = self.to_qkv(x)                               # (B,Hp,Wp,3C)
             from super_resolution_tpu.ops.pallas_attention import (
-                attention_window_supported, msa_qtile_supported,
+                attention_window_supported, flash_route_enabled,
+                msa_flash_supported, msa_qtile_supported,
                 qtile_route_enabled)
+            if (pallas_on and flash_route_enabled()
+                    and not self.is_initializing() and ws % 8 == 0
+                    and hp % ws == 0 and wp % ws == 0
+                    and not attention_window_supported(ws * ws)
+                    and msa_flash_supported(ws, c, self.num_heads)):
+                # large-window flash route (r4 ask-8 experiment): online-
+                # softmax kv chunking, bias chunk reused across a window
+                # row, full-window M per program. Opt-in (SR_TPU_FLASH=1)
+                # until the hardware A/B (scripts/bench_esc.py ESC_XL=1)
+                # decides the default.
+                from super_resolution_tpu.ops.pallas_attention import \
+                    msa_flash_attention_ad
+                out = msa_flash_attention_ad(
+                    qkv, bias.astype(jnp.float32), self.num_heads, ws,
+                    (c // self.num_heads) ** -0.5)
+                return self.to_out(out[:, :h, :w, :])
             if (pallas_on and qtile_route_enabled()
                     and not self.is_initializing() and ws % 8 == 0
                     and hp % ws == 0 and wp % ws == 0

@@ -1721,3 +1721,183 @@ def _msa_qtile_ad_bwd(heads, window_size, scale, res, g):
 
 
 msa_qtile_attention_ad.defvjp(_msa_qtile_ad_fwd, _msa_qtile_ad_bwd)
+
+
+# --------------------------------------------------------------------------
+# Flash-accumulator window MSA for LARGE windows — the r3-verdict follow-up
+# experiment to the q-tiled kernel above (ask 8: "online-softmax
+# accumulator with multiple windows batched per program to feed the MXU").
+#
+# Design vs the q-tile kernel's two measured failure modes:
+#   1. bias streaming — grid order is (b, heads, window-ROW, kv-chunk,
+#      window-COL) with the kv-chunk axis OUTSIDE the window sweep, so
+#      the (N, Tk) f32 bias chunk is fetched once per (head, chunk) and
+#      reused across every window of the row (the q-tile loser refetched
+#      the full 21 MB/head bias per window: 7.6 GB on ESC-XL);
+#   2. MXU feeding — each program computes a FULL window of M = N = ws^2
+#      query rows (2304 at ws 48, 4x the q-tile kernel's 576), and the
+#      PV contraction runs at K = Tk (288) instead of the q-tile
+#      kernel's d = 16.
+# The price is flash bookkeeping: per-window f32 accumulators (o, m, l)
+# for ALL windows of the current row persist in scratch across the chunk
+# sweep (nwx * N * (d + 2) * 4 bytes — 0.9 MB at ESC-XL), and the output
+# block is rewritten with the running normalized estimate at every chunk
+# (the final chunk's write wins; earlier writes are ~Tk/N of the output
+# traffic, trivial at d = 16).
+# --------------------------------------------------------------------------
+
+
+def _msa_flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                      acc_ref, m_ref, l_ref, *, scale: float):
+    ch = pl.program_id(3)
+    g = pl.program_id(4)
+    n = q_ref.shape[2] * q_ref.shape[3]
+    tk = k_ref.shape[2] * k_ref.shape[3]
+    d = q_ref.shape[-1]
+    q = q_ref[0, 0].reshape(n, d)
+    k = k_ref[0, 0].reshape(tk, d)
+    v = v_ref[0, 0].reshape(tk, d)
+
+    @pl.when(ch == 0)
+    def _init():
+        acc_ref[g] = jnp.zeros_like(acc_ref[g])
+        m_ref[g] = jnp.full_like(m_ref[g], -jnp.inf)
+        l_ref[g] = jnp.zeros_like(l_ref[g])
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (N, Tk) f32
+    s = s * scale + bias_ref[0].astype(jnp.float32)
+    m_prev = m_ref[g]                                        # (N, 1)
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)
+    l_new = l_ref[g] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (N, d) f32
+    a_new = acc_ref[g] * alpha + pv
+    acc_ref[g] = a_new
+    m_ref[g] = m_cur
+    l_ref[g] = l_new
+    o_ref[0, 0] = (a_new / l_new).reshape(
+        q_ref.shape[2], q_ref.shape[3], d).astype(o_ref.dtype)
+
+
+def _flash_chunk_rows(window_size: int, budget_bytes: int = 11 * 2 ** 20):
+    """KV-chunk row count cr (cr | ws) so the f32 (N, cr*ws) score,
+    softmax and bias slabs fit scoped VMEM alongside the accumulators."""
+    n = window_size * window_size
+    best = 0
+    for cr in range(1, window_size + 1):
+        if window_size % cr:
+            continue
+        if 12 * n * (cr * window_size) + 2 * 2 ** 20 <= budget_bytes:
+            best = cr
+    return best
+
+
+def msa_flash_supported(window_size: int, dim: int, heads: int) -> bool:
+    if dim % heads:
+        return False
+    return (dim // heads) % 8 == 0 and _flash_chunk_rows(window_size) >= 1
+
+
+def flash_route_enabled() -> bool:
+    """Opt-in gate (SR_TPU_FLASH=1) while the A/B against slabbed XLA is
+    collected on hardware; see scripts/bench_esc.py ESC_XL=1."""
+    return os.environ.get("SR_TPU_FLASH") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "scale", "chunk_rows",
+                                             "interpret"))
+def msa_flash_attention(qkv_img, bias, *, heads: int, window_size: int,
+                        scale: float | None = None,
+                        chunk_rows: int | None = None,
+                        interpret: bool | None = None):
+    """Unshifted window MSA with online-softmax kv chunking.
+
+    Args:
+      qkv_img: (B, H, W, 3C); H, W multiples of window_size.
+      bias: (heads, N, N) f32 relative position bias, N = ws^2.
+    Returns:
+      (B, H, W, C) attention output (pre out-projection), image layout.
+    """
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    ws = window_size
+    d = c // heads
+    n = ws * ws
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cr = chunk_rows or _flash_chunk_rows(ws)
+    nch = ws // cr
+    nwy, nwx = h_img // ws, w_img // ws
+
+    qkv = qkv_img.reshape(b, h_img, w_img, 3, heads, d)
+    q_hd = qkv[:, :, :, 0].transpose(3, 0, 1, 2, 4)   # (heads, B, H, W, d)
+    k_hd = qkv[:, :, :, 1].transpose(3, 0, 1, 2, 4)
+    v_hd = qkv[:, :, :, 2].transpose(3, 0, 1, 2, 4)
+
+    grid = (b, heads, nwy, nch, nwx)
+    out = pl.pallas_call(
+        functools.partial(_msa_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, ws, ws, d),
+                         lambda bb, h, i, ch, j: (h, bb, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cr, ws, d),
+                         lambda bb, h, i, ch, j, _nch=nch:
+                         (h, bb, i * _nch + ch, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cr, ws, d),
+                         lambda bb, h, i, ch, j, _nch=nch:
+                         (h, bb, i * _nch + ch, j, 0),
+                         memory_space=pltpu.VMEM),
+            # bias chunk: constant across the innermost window-col sweep
+            # -> one fetch per (head, chunk) per window row
+            pl.BlockSpec((1, n, cr * ws),
+                         lambda bb, h, i, ch, j: (h, 0, ch),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ws, ws, d),
+                               lambda bb, h, i, ch, j: (h, bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((heads, b, h_img, w_img, d),
+                                       qkv_img.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nwx, n, d), jnp.float32),
+            pltpu.VMEM((nwx, n, 1), jnp.float32),
+            pltpu.VMEM((nwx, n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_hd, k_hd, v_hd, bias)
+    return out.transpose(1, 2, 3, 0, 4).reshape(b, h_img, w_img, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def msa_flash_attention_ad(qkv_img, bias, heads, window_size, scale):
+    """Flash forward, XLA backward."""
+    return msa_flash_attention(qkv_img, bias, heads=heads,
+                               window_size=window_size, scale=scale)
+
+
+def _msa_flash_ad_fwd(qkv_img, bias, heads, window_size, scale):
+    out = msa_flash_attention(qkv_img, bias, heads=heads,
+                              window_size=window_size, scale=scale)
+    return out, (qkv_img, bias)
+
+
+def _msa_flash_ad_bwd(heads, window_size, scale, res, g):
+    qkv_img, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b_: msa_qtile_reference(a, b_, heads, window_size, scale),
+        qkv_img, bias)
+    return vjp(g.astype(qkv_img.dtype))
+
+
+msa_flash_attention_ad.defvjp(_msa_flash_ad_fwd, _msa_flash_ad_bwd)
