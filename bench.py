@@ -53,9 +53,12 @@ BASELINE_LOCAL_OUT_MPIX_S = 0.0053
 BASELINE_TRAIN_SAMPLES_S = 0.0135
 
 # PyTorch-CPU reference GAN-step throughput (scripts/baseline_torch_gan.py —
-# the reference's own RealHATGANModel feed_data + optimize_parameters on CPU,
-# same shapes/losses as the bench GAN leg). Units: samples/s.
-BASELINE_GAN_SAMPLES_S = None  # filled when the offline measurement lands
+# the reference's own RealHATGANModel feed_data + optimize_parameters run on
+# CPU, same shapes/losses as the bench GAN leg: 221.9 s/step median of 2
+# after warmup, batch 4, torch 2.13.0+cpu, r4; CPU-contention variance on
+# these anchors is ~+/-30%, so ratios are order-of-magnitude evidence).
+# Units: samples/s.
+BASELINE_GAN_SAMPLES_S = 0.0180
 
 
 def _pair(s):
@@ -134,6 +137,14 @@ def main():
     # 720x192/7 6.45 | whole-image/1 5.52 | 352x320/8 3.92.
     # (r2, attention-only kernels: 720x320/4 6.05 was best; 720x640/2 OOM'd
     # before mlp_block got width-adaptive row tiles.)
+    # r4 (streamed tail + _mlp_auto_rows): the upsampler peak no longer
+    # caps the plan — 720x640/2 and whole-image 720x1280/1 now COMPILE
+    # (the r3 OOM was the fused-MLP scoped-VMEM rule, fixed) — but bigger
+    # tiles stay slower: 720x160/8 7.75 | 720x320/4 7.43 | 720x640/2 6.87
+    # | 720x1280/1 (zero halo) 5.51. Halo waste (1.4x issue at pad 32) is
+    # worth less than lax.map batch depth at these shapes; the halo-tax
+    # ceiling is a batching property, not a memory one. The protocol-legal
+    # lever stays pad 16 (window-size multiple): 1.2x issue, ~8.9.
     tile_size = _pair(os.environ.get("BENCH_TILE", "720x160"))
     tile_pad = _pair(os.environ.get("BENCH_PAD", "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", 8))
@@ -402,6 +413,7 @@ def main():
                 "gan_train_ms_per_step": round(gms, 1),
                 "gan_train_samples_s": round(gsps, 2),
                 "gan_train_batch": 4,
+                "gan_vs_baseline": round(gsps / BASELINE_GAN_SAMPLES_S, 1),
             }
         except Exception as e:  # noqa: BLE001
             gan_fields = {"gan_bench_error": repr(e)[:200]}
