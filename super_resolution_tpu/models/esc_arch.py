@@ -243,7 +243,8 @@ class WindowAttentionESC(nn.Module):
                     and not self.is_initializing() and ws % 8 == 0
                     and hp % ws == 0 and wp % ws == 0
                     and not attention_window_supported(ws * ws)
-                    and msa_flash_supported(ws, c, self.num_heads)):
+                    and msa_flash_supported(ws, c, self.num_heads,
+                                            nwx=wp // ws)):
                 # large-window flash route (r4 ask-8 experiment): online-
                 # softmax kv chunking, bias chunk reused across a window
                 # row, full-window M per program. Opt-in (SR_TPU_FLASH=1)

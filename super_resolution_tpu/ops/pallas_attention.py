@@ -1740,10 +1740,18 @@ msa_qtile_attention_ad.defvjp(_msa_qtile_ad_fwd, _msa_qtile_ad_bwd)
 #      kernel's d = 16.
 # The price is flash bookkeeping: per-window f32 accumulators (o, m, l)
 # for ALL windows of the current row persist in scratch across the chunk
-# sweep (nwx * N * (d + 2) * 4 bytes — 0.9 MB at ESC-XL), and the output
-# block is rewritten with the running normalized estimate at every chunk
-# (the final chunk's write wins; earlier writes are ~Tk/N of the output
-# traffic, trivial at d = 16).
+# sweep, and the output block is rewritten with the running normalized
+# estimate at every chunk (the final chunk's write wins).
+#
+# LAYOUT (the first attempt OOM'd at 20.25M scoped VMEM): every VMEM
+# buffer pads its lane (last) dim to 128, so natural (N, d=16) / (N, 1)
+# accumulators cost 8x their payload (7.1 MB each at ESC-XL). The whole
+# computation therefore runs TRANSPOSED — lanes carry N (2304, full),
+# sublanes carry Tk/d: scores are (Tk, N) = k @ q^T, the running max and
+# denominator are (1, N) sublane reductions, the accumulator is (d, N)
+# = v^T @ p, and the output ships in per-window (d, N) layout that XLA
+# untransposes outside the kernel. Bonus: both matmuls contract over the
+# MXU-native axis (QK^T over d with N output lanes, PV over Tk).
 # --------------------------------------------------------------------------
 
 
@@ -1765,47 +1773,73 @@ def _msa_flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         l_ref[g] = jnp.zeros_like(l_ref[g])
 
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (N, Tk) f32
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Tk, N) f32
     s = s * scale + bias_ref[0].astype(jnp.float32)
-    m_prev = m_ref[g]                                        # (N, 1)
-    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    m_prev = m_ref[g]                                        # (1, N)
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
     alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur)
-    l_new = l_ref[g] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - m_cur)                                   # (Tk, N)
+    l_new = l_ref[g] * alpha + jnp.sum(p, axis=0, keepdims=True)
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (N, d) f32
+        v, p.astype(v.dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (d, N) f32
     a_new = acc_ref[g] * alpha + pv
     acc_ref[g] = a_new
     m_ref[g] = m_cur
     l_ref[g] = l_new
-    o_ref[0, 0] = (a_new / l_new).reshape(
-        q_ref.shape[2], q_ref.shape[3], d).astype(o_ref.dtype)
+    o_ref[0, 0, 0] = (a_new / l_new).astype(o_ref.dtype)     # (d, N)
 
 
-def _flash_chunk_rows(window_size: int, budget_bytes: int = 11 * 2 ** 20):
+def _flash_chunk_rows(window_size: int, budget_bytes: int = 13 * 2 ** 20):
     """KV-chunk row count cr (cr | ws) so the f32 (N, cr*ws) score,
-    softmax and bias slabs fit scoped VMEM alongside the accumulators."""
+    softmax and bias slabs fit scoped VMEM alongside the accumulators.
+    Mosaic requires the bias block's lane dim to be a multiple of 128
+    (or the whole N), so cr*ws must be too — at ws 48 that means cr=8
+    (Tk=384, ~11.8M slabs)."""
     n = window_size * window_size
     best = 0
     for cr in range(1, window_size + 1):
         if window_size % cr:
             continue
-        if 12 * n * (cr * window_size) + 2 * 2 ** 20 <= budget_bytes:
+        tk = cr * window_size
+        if tk % 128 and tk != n:
+            continue
+        if 12 * n * tk + 2 * 2 ** 20 <= budget_bytes:
             best = cr
     return best
 
 
-def msa_flash_supported(window_size: int, dim: int, heads: int) -> bool:
+def msa_flash_supported(window_size: int, dim: int, heads: int,
+                        nwx: int = 8) -> bool:
+    """nwx: window columns — the per-row accumulator scratch is
+    nwx * (d + 2) * N * 4 bytes and must fit beside the score slabs
+    (ESC-XL at 288 px wide: 6 * 18 * 2304 * 4 = 1.0 MB; a 4K-wide input
+    would need 13 MB and must fall back)."""
     if dim % heads:
         return False
-    return (dim // heads) % 8 == 0 and _flash_chunk_rows(window_size) >= 1
+    d = dim // heads
+    cr = _flash_chunk_rows(window_size)
+    if d % 8 or cr < 1:
+        return False
+    n = window_size * window_size
+    scratch = nwx * (d + 2) * n * 4
+    slabs = 12 * n * cr * window_size
+    return scratch + slabs + 2 * 2 ** 20 <= 15 * 2 ** 20
 
 
 def flash_route_enabled() -> bool:
-    """Opt-in gate (SR_TPU_FLASH=1) while the A/B against slabbed XLA is
-    collected on hardware; see scripts/bench_esc.py ESC_XL=1."""
+    """Opt-in gate (SR_TPU_FLASH=1) — measured on v5e (ESC-XL, 240x288,
+    ws 48, 12 heads, d=16, bf16): XLA 3.378 / q-tile 2.496 / flash 2.510
+    out-Mpix/s. The flash design removed BOTH of the q-tile kernel's
+    suspected costs — the bias streams once per (head, chunk) across a
+    window row, and the PV contraction runs at K=384 — and the number
+    did not move, which isolates the real limiter: the QK^T contraction
+    at K=d=16 (<=12.5% MXU) that no kernel layout can widen, amortized
+    better by XLA's M=nW*2304 batched slab einsums than by per-window
+    M=2304 programs. Negative result kept with its data; the kernel
+    stays correct + tested (tests/test_flash_attention.py) behind the
+    flag."""
     return os.environ.get("SR_TPU_FLASH") == "1"
 
 
@@ -1841,6 +1875,10 @@ def msa_flash_attention(qkv_img, bias, *, heads: int, window_size: int,
     q_hd = qkv[:, :, :, 0].transpose(3, 0, 1, 2, 4)   # (heads, B, H, W, d)
     k_hd = qkv[:, :, :, 1].transpose(3, 0, 1, 2, 4)
     v_hd = qkv[:, :, :, 2].transpose(3, 0, 1, 2, 4)
+    # the kernel runs transposed (scores (Tk, N), lanes = queries), so the
+    # bias streams as bias[h, query, key]^T; XLA fuses this transpose into
+    # the bias gather that builds the dense table
+    bias_t = jnp.swapaxes(bias, 1, 2)
 
     grid = (b, heads, nwy, nch, nwx)
     out = pl.pallas_call(
@@ -1860,23 +1898,26 @@ def msa_flash_attention(qkv_img, bias, *, heads: int, window_size: int,
                          memory_space=pltpu.VMEM),
             # bias chunk: constant across the innermost window-col sweep
             # -> one fetch per (head, chunk) per window row
-            pl.BlockSpec((1, n, cr * ws),
-                         lambda bb, h, i, ch, j: (h, 0, ch),
+            pl.BlockSpec((1, cr * ws, n),
+                         lambda bb, h, i, ch, j: (h, ch, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ws, ws, d),
-                               lambda bb, h, i, ch, j: (h, bb, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((heads, b, h_img, w_img, d),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, d, n),
+            lambda bb, h, i, ch, j, _nwx=nwx: (h, bb, i * _nwx + j, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((heads, b, nwy * nwx, d, n),
                                        qkv_img.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nwx, n, d), jnp.float32),
-            pltpu.VMEM((nwx, n, 1), jnp.float32),
-            pltpu.VMEM((nwx, n, 1), jnp.float32),
+            pltpu.VMEM((nwx, d, n), jnp.float32),
+            pltpu.VMEM((nwx, 1, n), jnp.float32),
+            pltpu.VMEM((nwx, 1, n), jnp.float32),
         ],
         interpret=interpret,
-    )(q_hd, k_hd, v_hd, bias)
-    return out.transpose(1, 2, 3, 0, 4).reshape(b, h_img, w_img, c)
+    )(q_hd, k_hd, v_hd, bias_t)
+    # (heads, B, nW, d, N) -> (B, H, W, C)
+    out = out.transpose(1, 2, 4, 0, 3).reshape(b, nwy, nwx, ws, ws, c)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h_img, w_img, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -56,10 +56,12 @@ def test_flash_msa_bf16():
 
 
 def test_flash_guards():
-    # ws 48 is the target shape: chunking must fit scoped VMEM
+    # ws 48 is the target shape: chunking must fit scoped VMEM and the
+    # kv-chunk (bias lane dim) must be a 128-multiple for Mosaic
     cr = _flash_chunk_rows(48)
     assert cr >= 1 and 48 % cr == 0
-    assert 12 * 48 * 48 * (cr * 48) + 2 * 2 ** 20 <= 11 * 2 ** 20
+    assert (cr * 48) % 128 == 0
+    assert 12 * 48 * 48 * (cr * 48) + 2 * 2 ** 20 <= 13 * 2 ** 20
     assert msa_flash_supported(48, 192, 12)       # ESC-XL: d=16
     assert not msa_flash_supported(48, 100, 12)   # dim % heads != 0
 
