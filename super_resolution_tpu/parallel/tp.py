@@ -162,3 +162,37 @@ def tp_sharded_fraction(params: Any, axis: str = "model") -> float:
 
     jax.tree_util.tree_map_with_path(visit, params)
     return sharded / max(total, 1)
+
+
+def match_param_layout(opt_state, params):
+    """device_put optimizer-state subtrees that mirror the params tree
+    (optax moments are ``zeros_like(params)``) onto the params' shardings.
+
+    Under jit, fresh zeros have no sharding-propagation source, so GSPMD
+    is free to emit them replicated — ``init_train_state`` under a TP/PP
+    mesh otherwise produces replicated Adam moments and silently forfeits
+    the optimizer-state sharding (r4; caught by
+    tests/test_tp.py::test_tp_resume_reapplies_sharding). Leaves that do
+    not sit in a params-shaped subtree (step counts, schedule state) pass
+    through untouched.
+    """
+    pstruct = jax.tree.structure(params)
+
+    def mirrors_params(node):
+        if node is opt_state:
+            return False
+        try:
+            return jax.tree.structure(node) == pstruct
+        except Exception:  # noqa: BLE001 - non-pytree nodes
+            return False
+
+    def fix(node):
+        if not mirrors_params(node):
+            return node
+        return jax.tree.map(
+            lambda o, p: jax.device_put(o, p.sharding)
+            if hasattr(p, "sharding") and getattr(o, "shape", None) == p.shape
+            else o,
+            node, params)
+
+    return jax.tree.map(fix, opt_state, is_leaf=mirrors_params)

@@ -213,8 +213,14 @@ class SRModel:
                 init_pp_params, make_hat_pp_train_step)
 
             pp_params = init_pp_params(self.net_g, self.params, mesh)
+            from super_resolution_tpu.parallel.tp import match_param_layout
+
             self.state = jax.jit(lambda p: init_train_state(
                 p, self.tx, self.ema_decay))(pp_params)
+            # same replicated-fresh-zeros issue as TP: pin the moments to
+            # the pipe-stacked param layout
+            self.state = self.state.replace(opt_state=match_param_layout(
+                self.state.opt_state, pp_params))
             self._train_step = jax.jit(
                 make_hat_pp_train_step(self.net_g, self.tx, train_opt, mesh))
             self._pp_params_stale = True
@@ -240,9 +246,15 @@ class SRModel:
             self._tp_head_par = head_par
             self.params = shard_params_tp(self.params, mesh,
                                           head_parallel_attn=head_par)
-            # under jit the optimizer/EMA state inherits the param layout
+            # under jit the EMA copy inherits the param layout, but the
+            # optimizer moments are fresh zeros with no propagation source
+            # and come out replicated — pin them to the param shardings
+            from super_resolution_tpu.parallel.tp import match_param_layout
+
             self.state = jax.jit(lambda p: init_train_state(
                 p, self.tx, self.ema_decay))(self.params)
+            self.state = self.state.replace(opt_state=match_param_layout(
+                self.state.opt_state, self.params))
             # computation follows the sharded operands (params in the TP
             # layout, batch on 'data'); explicit replicated out_shardings
             # would undo the layout every step
@@ -313,8 +325,15 @@ class SRModel:
         self._sync_from_state()
         tree = {"params": jax.tree.map(np.asarray, self.params),
                 "epoch": epoch, "iter": current_iter}
-        if self.ema_params is not None:
-            tree["params_ema"] = jax.tree.map(np.asarray, self.ema_params)
+        ema = self.ema_params
+        if (ema is None and not getattr(self, "_pp_mode", False)
+                and getattr(self, "state", None) is not None
+                and getattr(self, "ema_decay", 0) > 0):
+            # a save before the first optimize_parameters (the per-step
+            # sync hasn't run yet): the EMA tree lives in the train state
+            ema = self.state.ema_params
+        if ema is not None:
+            tree["params_ema"] = jax.tree.map(np.asarray, ema)
         if getattr(self, "state", None) is not None:
             tree["opt_state"] = jax.tree.map(
                 np.asarray, jax.tree.leaves(self.state.opt_state))

@@ -196,3 +196,51 @@ def test_specs_cover_every_param(net_and_params):
     specs = tp_param_specs(params)
     assert (jax.tree_util.tree_structure(specs)
             == jax.tree_util.tree_structure(params))
+
+
+def test_tp_resume_reapplies_sharding(tmp_path):
+    """Resuming under a model-parallel mesh must re-shard the loaded
+    (plain/replicated) arrays — otherwise computation-follows-data
+    silently replicates the whole resumed run (r3 advisor finding,
+    sr_model.py resume_training)."""
+    from super_resolution_tpu.parallel.mesh import make_mesh_from_spec
+    from super_resolution_tpu.runtime.sr_model import SRModel
+
+    kw = dict(img_size=16, embed_dim=32, depths=[2], num_heads=[4],
+              window_size=8, compress_ratio=4, squeeze_factor=8,
+              conv_scale=0.01, overlap_ratio=0.5, mlp_ratio=2.0,
+              drop_path_rate=0.0, upscale=2)
+    opt = {
+        "name": "tp_resume", "model_type": "SRModel", "scale": 2,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True,
+        "network_g": {"type": "HATClassic", **kw},
+        "datasets": {"train": {"name": "x", "type": "PairedImageDataset",
+                               "phase": "train", "gt_size": 32}},
+        "train": {"optim_g": {"type": "Adam", "lr": 2e-4,
+                              "betas": [0.9, 0.99]},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                                "gamma": 0.5},
+                  "total_iter": 4, "warmup_iter": -1, "ema_decay": 0.999,
+                  "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
+                                "reduction": "mean"}},
+        "path": {"pretrain_network_g": None,
+                 "models": str(tmp_path / "models")},
+    }
+    (tmp_path / "models").mkdir()
+    mesh = make_mesh_from_spec({"data": 4, "model": 2})
+    model = SRModel(opt)
+    model.setup_training(mesh=mesh)
+    model.save(0, 1)
+
+    model2 = SRModel(opt)
+    model2.setup_training(mesh=mesh)
+    model2.resume_training(str(tmp_path / "models" / "net_g_1"))
+
+    def n_sharded(tree):
+        return sum(leaf.addressable_shards[0].data.shape != leaf.shape
+                   for leaf in jax.tree.leaves(tree))
+
+    assert n_sharded(model2.params) > 0, "resume dropped the TP layout"
+    assert n_sharded(model2.ema_params) > 0
+    assert n_sharded(model2.state.opt_state) > 0, \
+        "optimizer moments lost the TP layout on resume"
