@@ -29,6 +29,24 @@ def mm(a):
 dt = timeit(mm, a, loops_attr=L)
 print(f"matmul {n}x{n} bf16: {2*n**3/dt/1e12:.1f} TFLOP/s  ({dt*1e3:.2f} ms)")
 
+# int8 leg — is quantized inference a lever on THIS backend? v5e's
+# datasheet says int8 = 2x bf16 (394 vs 197), but the axon-virtualized
+# chip delivers ~1/5 of nameplate and flattens the gap: measured r4
+# bf16 37.5 vs int8 42.1 TOPS (+12%) — quantization is NOT worth its
+# PSNR cost here; revisit only on bare-metal hardware.
+ai = jnp.asarray(np.random.default_rng(1).integers(-127, 127, (n, n)),
+                 jnp.int8)
+
+@jax.jit
+def mmi(a):
+    def body(_, x):
+        r = jax.lax.dot(x, x, preferred_element_type=jnp.int32)
+        return (r >> 8).astype(jnp.int8)
+    return jax.lax.fori_loop(0, L, body, a)
+
+dt = timeit(mmi, ai, loops_attr=L)
+print(f"matmul {n}x{n} int8: {2*n**3/dt/1e12:.1f} TOPS  ({dt*1e3:.2f} ms)")
+
 m = 256 * 1024 * 1024 // 2  # 256M bf16 elements = 512MB
 v = jnp.zeros((m,), jnp.bfloat16)
 
