@@ -362,7 +362,10 @@ def main():
                                   "milestones": [300000], "gamma": 0.5},
                     "total_iter": 800000}
             tx, _ = build_optimizer(topt, {})
-            tstep = jax.jit(make_sr_train_step(net, tx, topt))
+            # state donated like the runtime train paths (sr_model.py):
+            # params/moments/EMA update in place, halving state residency
+            tstep = jax.jit(make_sr_train_step(net, tx, topt),
+                            donate_argnums=0)
             tb = 4
             trng = np.random.default_rng(3)
             tbatch = {

@@ -16,6 +16,7 @@ config (dict or YAML):
 
 from __future__ import annotations
 
+import functools
 import os
 from os import path as osp
 
@@ -35,7 +36,7 @@ def make_train_step(model, tx):
                            batch["cell"])
         return jnp.mean(jnp.abs(pred - batch["gt"]))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)

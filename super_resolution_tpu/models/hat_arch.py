@@ -403,15 +403,25 @@ class OCAB(nn.Module):
 
         from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
                                                          mlp_block_ad)
-        if ffn_fused_enabled() and not self.is_initializing():
-            # fused x + MLP(LN(x)) tail (ops/pallas_ffn.py::mlp_block)
+        from super_resolution_tpu.models.hat_classic_arch import _tp_ffn_route
+        tp_ffn = (_tp_ffn_route(int(self.mlp_0.features))
+                  if ffn_fused_enabled(ignore_tp=True) else None)
+        if (ffn_fused_enabled() or tp_ffn) and not self.is_initializing():
+            # fused x + MLP(LN(x)) tail (ops/pallas_ffn.py::mlp_block);
+            # under TP: hidden-parallel shard_map (parallel/tp_ffn.py)
             np2 = self.norm2.variables["params"]
-            return mlp_block_ad(
-                x, np2["scale"], np2["bias"],
-                self.mlp_0.variables["params"]["kernel"],
-                self.mlp_0.variables["params"]["bias"],
-                self.mlp_2.variables["params"]["kernel"],
-                self.mlp_2.variables["params"]["bias"])
+            args = (x, np2["scale"], np2["bias"],
+                    self.mlp_0.variables["params"]["kernel"],
+                    self.mlp_0.variables["params"]["bias"],
+                    self.mlp_2.variables["params"]["kernel"],
+                    self.mlp_2.variables["params"]["bias"])
+            if tp_ffn is not None:
+                from super_resolution_tpu.parallel.tp_ffn import \
+                    hidden_parallel_mlp_block
+
+                return hidden_parallel_mlp_block(*args, mesh=tp_ffn[0],
+                                                 axis=tp_ffn[1])
+            return mlp_block_ad(*args)
         return x + self.mlp_2(gelu_exact(self.mlp_0(self.norm2(x))))
 
 

@@ -135,23 +135,46 @@ class Mlp(nn.Module):
 
 
 
+def _tp_ffn_route(hid):
+    """(mesh, axis) when the hidden-parallel fused-FFN composition applies
+    under the active TP context (parallel/tp_ffn.py), else None."""
+    from super_resolution_tpu.parallel.tp import tp_attention_ctx
+
+    ctx = tp_attention_ctx()
+    if ctx is None:
+        return None
+    mesh, axis = ctx
+    return (mesh, axis) if hid % int(mesh.shape[axis]) == 0 else None
+
+
 def _fused_mlp_tail(block, x, deterministic=True):
     """Route  x + Mlp(norm2(x))  through the fused Pallas mlp_block when
-    enabled (ops/pallas_ffn.py); None when the fused path is off."""
+    enabled (ops/pallas_ffn.py); None when the fused path is off. Under
+    TP the hidden-parallel shard_map composition keeps the fused kernel
+    (parallel/tp_ffn.py) when the hidden dim divides the model axis."""
     from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
                                                      mlp_block_ad)
 
-    if not (ffn_fused_enabled() and not block.is_initializing()
-            and x.ndim == 4 and deterministic):
+    if not (not block.is_initializing() and x.ndim == 4 and deterministic):
+        return None
+    tp_route = (_tp_ffn_route(block.mlp.hidden)
+                if ffn_fused_enabled(ignore_tp=True) else None)
+    if not (ffn_fused_enabled() or tp_route):
         return None
     np2 = block.norm2.variables["params"]
     mp = block.mlp
-    return mlp_block_ad(
-        x, np2["scale"], np2["bias"],
-        mp.fc1.variables["params"]["kernel"],
-        mp.fc1.variables["params"]["bias"],
-        mp.fc2.variables["params"]["kernel"],
-        mp.fc2.variables["params"]["bias"])
+    args = (x, np2["scale"], np2["bias"],
+            mp.fc1.variables["params"]["kernel"],
+            mp.fc1.variables["params"]["bias"],
+            mp.fc2.variables["params"]["kernel"],
+            mp.fc2.variables["params"]["bias"])
+    if tp_route is not None:
+        from super_resolution_tpu.parallel.tp_ffn import \
+            hidden_parallel_mlp_block
+
+        return hidden_parallel_mlp_block(*args, mesh=tp_route[0],
+                                         axis=tp_route[1])
+    return mlp_block_ad(*args)
 
 
 class HABClassic(nn.Module):
@@ -287,20 +310,32 @@ class HABClassic(nn.Module):
                                self.make_rng("droppath"))
         from super_resolution_tpu.ops.pallas_ffn import (ffn_fused_enabled,
                                                          mlp_block_sum3_ad)
-        if (ffn_fused_enabled() and not self.is_initializing()
+        tp_ffn = (_tp_ffn_route(self.mlp.hidden)
+                  if ffn_fused_enabled(ignore_tp=True) else None)
+        if ((ffn_fused_enabled() or tp_ffn) and not self.is_initializing()
                 and x.ndim == 4
                 and (deterministic or self.drop_path_rate == 0)):
             # fused tail INCLUDING the 3-way residual: the XLA add would
             # materialize x (read 3 C-images, write 1) only for the mlp
-            # kernel to re-read it — one extra HBM round trip per block
+            # kernel to re-read it — one extra HBM round trip per block.
+            # Under TP: hidden-parallel shard_map keeps the fused kernel
+            # (parallel/tp_ffn.py)
             np2 = self.norm2.variables["params"]
             mp = self.mlp
-            return mlp_block_sum3_ad(
+            sum3_args = (
                 shortcut, attn_x, conv_x, np2["scale"], np2["bias"],
                 mp.fc1.variables["params"]["kernel"],
                 mp.fc1.variables["params"]["bias"],
                 mp.fc2.variables["params"]["kernel"],
-                mp.fc2.variables["params"]["bias"], float(self.conv_scale))
+                mp.fc2.variables["params"]["bias"])
+            if tp_ffn is not None:
+                from super_resolution_tpu.parallel.tp_ffn import \
+                    hidden_parallel_mlp_sum3
+
+                return hidden_parallel_mlp_sum3(
+                    *sum3_args, conv_scale=float(self.conv_scale),
+                    mesh=tp_ffn[0], axis=tp_ffn[1])
+            return mlp_block_sum3_ad(*sum3_args, float(self.conv_scale))
         x = shortcut + attn_x + conv_x * self.conv_scale
         fused = _fused_mlp_tail(
             self, x, deterministic or self.drop_path_rate == 0)
@@ -345,12 +380,25 @@ class OCABClassic(nn.Module):
         bias = self.relative_position_bias_table[self._rpi.reshape(-1)]
         bias = bias.reshape(ws * ws, ow * ow, self.num_heads).transpose(2, 0, 1)
 
-        from super_resolution_tpu.ops.attention import \
-            fused_route_enabled
+        from super_resolution_tpu.ops.attention import (
+            _pallas_attention_enabled, fused_route_enabled)
         from super_resolution_tpu.ops.pallas_attention import \
             ocab_attention_supported
-        if (fused_route_enabled() and not self.is_initializing()
-                and ocab_attention_supported(ws, ow, self.num_heads)
+        from super_resolution_tpu.parallel.tp import tp_attention_ctx
+
+        # under TP the fused OCAB stays on via head parallelism
+        # (parallel/tp_attention.py): each device's kernel sees its head
+        # group's weight slices — the VMEM guard evaluates at the LOCAL
+        # head count
+        tp_ctx = tp_attention_ctx()
+        ntp = int(tp_ctx[0].shape[tp_ctx[1]]) if tp_ctx is not None else 1
+        tp_ocab = (tp_ctx is not None and _pallas_attention_enabled()
+                   and self.num_heads % ntp == 0
+                   and ocab_attention_supported(ws, ow,
+                                                self.num_heads // ntp))
+        plain_ocab = (fused_route_enabled()
+                      and ocab_attention_supported(ws, ow, self.num_heads))
+        if ((plain_ocab or tp_ocab) and not self.is_initializing()
                 and h % ws == 0 and w % ws == 0):
             # OCAB block megakernel: LN1, q/kv projections (kv recomputed
             # per overlap window instead of round-tripping a 2C image),
@@ -362,12 +410,22 @@ class OCABClassic(nn.Module):
             n1 = self.norm1.variables["params"]
             qk = self.qkv.variables["params"]
             pj = self.proj.variables["params"]
-            x = fused_ocab_block_ad(
+            ocab_args = (
                 x, n1["scale"], n1["bias"],
                 qk["kernel"][:, :c], qk["bias"][:c],
                 qk["kernel"][:, c:], qk["bias"][c:],
-                pj["kernel"], pj["bias"], bias,
-                self.num_heads, ws, ow, d ** -0.5)
+                pj["kernel"], pj["bias"], bias)
+            if tp_ctx is not None:
+                from super_resolution_tpu.parallel.tp_attention import \
+                    head_parallel_ocab_block
+
+                x = head_parallel_ocab_block(
+                    *ocab_args, heads=self.num_heads, window_size=ws,
+                    overlap_win=ow, mesh=tp_ctx[0], axis=tp_ctx[1],
+                    scale=d ** -0.5)
+            else:
+                x = fused_ocab_block_ad(*ocab_args, self.num_heads, ws, ow,
+                                        d ** -0.5)
         else:
             shortcut = x
             x = self.norm1(x)

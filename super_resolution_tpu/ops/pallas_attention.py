@@ -554,9 +554,14 @@ fused_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 def _ocab_block_kernel(x_ref, xov_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
                        wkv_ref, bkv_ref, wproj_ref, bproj_ref, bias_ref,
                        o_ref, *, heads: int, ws: int, ow: int, scale: float,
-                       h_img: int, w_img: int, ln_eps: float):
+                       h_img: int, w_img: int, ln_eps: float,
+                       residual_scale: float = 1.0):
     c = x_ref.shape[-1]
-    d = c // heads
+    # cq < c when the caller passes a head-group weight slice (the
+    # head-parallel TP worker, parallel/tp_attention.py); the LN and the
+    # residual stay full-C
+    cq = wq_ref.shape[1]
+    d = cq // heads
     n = ws * ws
     nk = ow * ow
     pad = (ow - ws) // 2
@@ -600,7 +605,7 @@ def _ocab_block_kernel(x_ref, xov_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     for h in range(heads):
         qh = q[:, h * d:(h + 1) * d]
         kh = kv[:, h * d:(h + 1) * d]
-        vh = kv[:, c + h * d:c + (h + 1) * d]
+        vh = kv[:, cq + h * d:cq + (h + 1) * d]
         s = jax.lax.dot_general(
             qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -612,21 +617,26 @@ def _ocab_block_kernel(x_ref, xov_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
             p.astype(x_raw.dtype), vh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1).astype(x_raw.dtype)          # (N, C)
+    o = jnp.concatenate(outs, axis=-1).astype(x_raw.dtype)         # (N, cq)
     o = jax.lax.dot_general(
         o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o = o + bproj_ref[0].astype(jnp.float32) + x_raw.astype(jnp.float32)
+    res = x_raw.astype(jnp.float32)
+    if residual_scale != 1.0:
+        res = res * residual_scale
+    o = o + bproj_ref[0].astype(jnp.float32) + res
     o_ref[0] = o.reshape(ws, ws, c).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
                                              "overlap_win", "scale",
-                                             "ln_eps", "interpret"))
+                                             "ln_eps", "interpret",
+                                             "residual_scale"))
 def fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
                      w_proj, b_proj, bias, *, heads: int, window_size: int,
                      overlap_win: int, scale: float | None = None,
-                     ln_eps: float = 1e-5, interpret: bool | None = None):
+                     ln_eps: float = 1e-5, interpret: bool | None = None,
+                     residual_scale: float = 1.0):
     """The WHOLE OCAB attention half in one kernel: LN1, q/kv projections,
     overlap windowing, rectangular attention with gathered RPB, output
     projection and the shortcut residual.
@@ -643,16 +653,21 @@ def fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
     Args:
       x_img: (B, H, W, C) RAW block input (pre-norm1); H, W multiples of ws.
       ln_scale, ln_bias: (C,) norm1 affine params.
-      w_q: (C, C); b_q: (C,); w_kv: (C, 2C); b_kv: (2C,)   (classic's fused
-        qkv Dense is passed as the two slices of its kernel/bias).
-      w_proj: (C, C); b_proj: (C,).
-      bias: (heads, ws^2, ow^2) f32.
+      w_q: (C, Cq); b_q: (Cq,); w_kv: (C, 2Cq); b_kv: (2Cq,)  (classic's
+        fused qkv Dense is passed as the two slices of its kernel/bias;
+        Cq == C normally, Cq == C/P for a head-parallel TP worker's
+        head-group slice — parallel/tp_attention.py).
+      w_proj: (Cq, C); b_proj: (C,).
+      bias: (heads, ws^2, ow^2) f32 — `heads` matches the slice.
+      residual_scale: weight on the `+ x` shortcut (1/P for TP workers so
+        the psum over partials reassembles exactly one residual).
     Returns:
-      (B, H, W, C) = x + proj(attention(...)) — ready for the MLP tail.
+      (B, H, W, C) = residual_scale*x + proj(attention(...)).
     """
     b, h_img, w_img, c = x_img.shape
+    cq = w_q.shape[1]
     ws, ow = window_size, overlap_win
-    d = c // heads
+    d = cq // heads
     if scale is None:
         scale = d ** -0.5
     if interpret is None:
@@ -662,13 +677,13 @@ def fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
     nwy, nwx = h_img // ws, w_img // ws
     grid = (b, nwy, nwx)
     args2d = [ln_scale.reshape(1, c), ln_bias.reshape(1, c),
-              w_q, b_q.reshape(1, c), w_kv, b_kv.reshape(1, 2 * c),
+              w_q, b_q.reshape(1, cq), w_kv, b_kv.reshape(1, 2 * cq),
               w_proj, b_proj.reshape(1, c)]
     const = lambda bb, i, j: (0, 0)
     out = pl.pallas_call(
         functools.partial(_ocab_block_kernel, heads=heads, ws=ws, ow=ow,
                           scale=scale, h_img=h_img, w_img=w_img,
-                          ln_eps=ln_eps),
+                          ln_eps=ln_eps, residual_scale=residual_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ws, ws, c), lambda bb, i, j: (bb, i, j, 0),
@@ -679,11 +694,11 @@ def fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 2 * c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * cq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * cq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cq, c), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, ws * ws, ow * ow),
                          lambda bb, i, j: (0, 0, 0),
@@ -701,8 +716,9 @@ def fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
 def ocab_block_reference(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
                          w_proj, b_proj, bias, heads: int, window_size: int,
                          overlap_win: int, scale: float | None = None,
-                         ln_eps: float = 1e-5):
-    """XLA oracle/backward for fused_ocab_block."""
+                         ln_eps: float = 1e-5, residual_scale: float = 1.0):
+    """XLA oracle/backward for fused_ocab_block (head-group weight slices
+    and residual_scale generalize exactly as in the kernel)."""
     xt = x_img.astype(jnp.float32)
     mu = jnp.mean(xt, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xt - mu), axis=-1, keepdims=True)
@@ -713,8 +729,9 @@ def ocab_block_reference(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
     kv = xn @ w_kv.astype(xn.dtype) + b_kv.astype(xn.dtype)
     out = ocab_attention_reference(q, kv, bias, heads, window_size,
                                    overlap_win, scale)
+    res = x_img if residual_scale == 1.0 else x_img * residual_scale
     return (out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
-            + x_img)
+            + res)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
@@ -747,6 +764,44 @@ def _ocab_block_ad_bwd(heads, window_size, overlap_win, scale, res, g):
 
 
 fused_ocab_block_ad.defvjp(_ocab_block_ad_fwd, _ocab_block_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def fused_ocab_block_scaled_ad(x_img, ln_scale, ln_bias, w_q, b_q, w_kv,
+                               b_kv, w_proj, b_proj, bias, heads,
+                               window_size, overlap_win, scale,
+                               residual_scale):
+    """fused_ocab_block with a residual_scale — the head-parallel TP
+    worker's entry (parallel/tp_attention.py): head-group weight slices,
+    residual/P, psum reassembles. Fused forward, XLA backward."""
+    return fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
+                            w_proj, b_proj, bias, heads=heads,
+                            window_size=window_size,
+                            overlap_win=overlap_win, scale=scale,
+                            residual_scale=residual_scale)
+
+
+def _ocab_scaled_fwd(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
+                     w_proj, b_proj, bias, heads, window_size, overlap_win,
+                     scale, residual_scale):
+    out = fused_ocab_block(x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv,
+                           w_proj, b_proj, bias, heads=heads,
+                           window_size=window_size,
+                           overlap_win=overlap_win, scale=scale,
+                           residual_scale=residual_scale)
+    return out, (x_img, ln_scale, ln_bias, w_q, b_q, w_kv, b_kv, w_proj,
+                 b_proj, bias)
+
+
+def _ocab_scaled_bwd(heads, window_size, overlap_win, scale, residual_scale,
+                     res, g):
+    _, vjp = jax.vjp(
+        lambda *a: ocab_block_reference(*a, heads, window_size, overlap_win,
+                                        scale, 1e-5, residual_scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+fused_ocab_block_scaled_ad.defvjp(_ocab_scaled_fwd, _ocab_scaled_bwd)
 
 
 def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,

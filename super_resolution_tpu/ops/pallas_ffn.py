@@ -247,19 +247,24 @@ def _blk_bwd(res, g):
 gated_dconv_ffn_block_ad.defvjp(_blk_fwd, _blk_bwd)
 
 
-def ffn_fused_enabled() -> bool:
+def ffn_fused_enabled(ignore_tp: bool = False) -> bool:
     """Route HAB mlp residuals through the fused block kernel on TPU
-    (SR_TPU_FFN=fused|xla overrides)."""
+    (SR_TPU_FFN=fused|xla overrides).
+
+    ignore_tp: answer "would the fused route be on, TP aside" — used by the
+    arch routing to decide the hidden-parallel shard_map composition
+    (parallel/tp_ffn.py) when the fc1/fc2 weights are kept replicated."""
     import os
 
     import jax
 
     from super_resolution_tpu.parallel.tp import tp_active
 
-    if tp_active():
-        # under tensor parallelism the fc1/fc2 weights carry the Megatron
-        # column/row layout; the XLA path lets GSPMD contract them sharded
-        # (a pallas_call would all-gather them every block)
+    if tp_active() and not ignore_tp:
+        # under tensor parallelism with Megatron-sharded fc1/fc2 the XLA
+        # path lets GSPMD contract them sharded (a pallas_call would
+        # all-gather them every block); with replicated mlp weights the
+        # hidden-parallel composition routes explicitly via ignore_tp
         return False
     mode = os.environ.get("SR_TPU_FFN", "auto").lower()
     if mode == "fused":
@@ -275,9 +280,12 @@ def ffn_fused_enabled() -> bool:
 
 
 def _mlp_tail_math(xf, dtype, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref,
-                   b2_ref, eps: float):
-    """Shared VMEM tail:  xf + fc2(gelu(fc1(LN(xf))))  with f32 stats/accum.
-    xf: (rows, C) f32. Returns (rows, C) f32."""
+                   b2_ref, eps: float, residual_scale: float = 1.0):
+    """Shared VMEM tail:  residual_scale*xf + fc2(gelu(fc1(LN(xf))))  with
+    f32 stats/accum. xf: (rows, C) f32. Returns (rows, C) f32.
+    residual_scale != 1 serves the hidden-parallel TP workers
+    (parallel/tp_ffn.py): each of N devices computes its hidden-slice MLP
+    partial plus xf/N, so the psum reassembles exactly one residual."""
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xd = xf - mu
     var = jnp.mean(xd * xd, axis=-1, keepdims=True)
@@ -299,15 +307,18 @@ def _mlp_tail_math(xf, dtype, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref,
     out = jax.lax.dot_general(
         g.astype(dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
-    return out + xf
+    if residual_scale == 1.0:
+        return out + xf
+    return out + xf * residual_scale
 
 
 def _mlp_kernel(xc, gam_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                *, eps: float):
+                *, eps: float, residual_scale: float = 1.0):
     c = xc.shape[-1]
     rows = xc[0].reshape(-1, c)
     out = _mlp_tail_math(rows.astype(jnp.float32), rows.dtype, gam_ref,
-                         bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, eps)
+                         bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, eps,
+                         residual_scale)
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
@@ -325,9 +336,11 @@ def _mlp_auto_rows(w: int, c: int, hid: int) -> int:
     return max(1, min(8, int(13e6 // bytes_per_row)))
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
+                                             "residual_scale"))
 def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
-              tile_rows: int = 0, interpret: bool | None = None):
+              tile_rows: int = 0, interpret: bool | None = None,
+              residual_scale: float = 1.0):
     """Fused  x + fc2(gelu(fc1(LN(x))))  — the OCAB / classic-HAT MLP
     residual tail (ref: hat_arch.py:391-392) in one VMEM pass. Pointwise
     only: no halos, no scratch; each program LNs a row tile, runs both
@@ -352,7 +365,8 @@ def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
     vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps),
+        functools.partial(_mlp_kernel, eps=eps,
+                          residual_scale=residual_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
@@ -374,8 +388,10 @@ def mlp_block(x, gamma, beta, w1, b1, w2, b2, *, eps: float = 1e-5,
     return out[:, :h]
 
 
-def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-5):
-    """Unfused x + MLP(LN(x)) with exact erf GELU (oracle + backward)."""
+def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-5,
+                        residual_scale: float = 1.0):
+    """Unfused residual_scale*x + MLP(LN(x)) with exact erf GELU
+    (oracle + backward)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xd = xf - mu
@@ -384,7 +400,8 @@ def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-5):
          + beta.astype(jnp.float32)).astype(x.dtype)
     h = y @ w1 + b1
     g = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
-    return x + (g.astype(x.dtype) @ w2 + b2)
+    res = x if residual_scale == 1.0 else x * residual_scale
+    return res + (g.astype(x.dtype) @ w2 + b2)
 
 
 @jax.custom_vjp
@@ -407,21 +424,24 @@ mlp_block_ad.defvjp(_mlp_ad_fwd, _mlp_ad_bwd)
 
 
 def _mlp_sum3_kernel(s_ref, a_ref, cv_ref, gam_ref, bet_ref, w1_ref, b1_ref,
-                     w2_ref, b2_ref, o_ref, *, eps: float, cs: float):
+                     w2_ref, b2_ref, o_ref, *, eps: float, cs: float,
+                     residual_scale: float = 1.0):
     c = s_ref.shape[-1]
     xf = (s_ref[0].reshape(-1, c).astype(jnp.float32)
           + a_ref[0].reshape(-1, c).astype(jnp.float32)
           + cv_ref[0].reshape(-1, c).astype(jnp.float32) * cs)
     out = _mlp_tail_math(xf, s_ref.dtype, gam_ref, bet_ref, w1_ref, b1_ref,
-                         w2_ref, b2_ref, eps)
+                         w2_ref, b2_ref, eps, residual_scale)
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("conv_scale", "eps",
-                                             "tile_rows", "interpret"))
+                                             "tile_rows", "interpret",
+                                             "residual_scale"))
 def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
                    conv_scale: float, eps: float = 1e-5, tile_rows: int = 0,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   residual_scale: float = 1.0):
     """Fused HAB tail INCLUDING the 3-way residual:
 
         x   = shortcut + attn_x + conv_scale * conv_x
@@ -453,7 +473,8 @@ def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
     vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_mlp_sum3_kernel, eps=eps, cs=conv_scale),
+        functools.partial(_mlp_sum3_kernel, eps=eps, cs=conv_scale,
+                          residual_scale=residual_scale),
         grid=grid,
         in_specs=[
             img, img, img,
@@ -475,11 +496,13 @@ def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
 
 
 def mlp_block_sum3_reference(shortcut, attn_x, conv_x, gamma, beta, w1, b1,
-                             w2, b2, conv_scale: float, eps: float = 1e-5):
+                             w2, b2, conv_scale: float, eps: float = 1e-5,
+                             residual_scale: float = 1.0):
     """Unfused 3-way residual + MLP tail (oracle + backward)."""
     x = (shortcut.astype(jnp.float32) + attn_x.astype(jnp.float32)
          + conv_x.astype(jnp.float32) * conv_scale).astype(shortcut.dtype)
-    return mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps)
+    return mlp_block_reference(x, gamma, beta, w1, b1, w2, b2, eps,
+                               residual_scale)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
@@ -503,3 +526,54 @@ def _sum3_ad_bwd(conv_scale, res, g):
 
 
 mlp_block_sum3_ad.defvjp(_sum3_ad_fwd, _sum3_ad_bwd)
+
+
+# --- residual-scaled AD variants (the hidden-parallel TP workers,
+# parallel/tp_ffn.py: each device contributes residual/N so the psum over
+# the model axis reassembles exactly one residual) -------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def mlp_block_scaled_ad(x, gamma, beta, w1, b1, w2, b2, residual_scale):
+    """Fused forward of residual_scale*x + MLP(LN(x)), XLA backward."""
+    return mlp_block(x, gamma, beta, w1, b1, w2, b2,
+                     residual_scale=residual_scale)
+
+
+def _mlp_scaled_fwd(x, gamma, beta, w1, b1, w2, b2, residual_scale):
+    args = (x, gamma, beta, w1, b1, w2, b2)
+    return mlp_block(*args, residual_scale=residual_scale), args
+
+
+def _mlp_scaled_bwd(residual_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: mlp_block_reference(*a, 1e-5, residual_scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+mlp_block_scaled_ad.defvjp(_mlp_scaled_fwd, _mlp_scaled_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def mlp_block_sum3_scaled_ad(shortcut, attn_x, conv_x, gamma, beta, w1, b1,
+                             w2, b2, conv_scale, residual_scale):
+    """Fused forward of residual_scale*sum3 + MLP(LN(sum3)), XLA backward."""
+    return mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1,
+                          w2, b2, conv_scale=conv_scale,
+                          residual_scale=residual_scale)
+
+
+def _sum3_scaled_fwd(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2,
+                     conv_scale, residual_scale):
+    args = (shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2)
+    return mlp_block_sum3(*args, conv_scale=conv_scale,
+                          residual_scale=residual_scale), args
+
+
+def _sum3_scaled_bwd(conv_scale, residual_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: mlp_block_sum3_reference(*a, conv_scale, 1e-5,
+                                            residual_scale), *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+mlp_block_sum3_scaled_ad.defvjp(_sum3_scaled_fwd, _sum3_scaled_bwd)

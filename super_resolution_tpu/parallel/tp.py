@@ -26,7 +26,10 @@ The fused Pallas megakernels compose with TP via HEAD parallelism
 window-attention modules route through a shard_map in which each device
 slices its head group's qkv columns / proj rows out of the (replicated)
 weights and runs the fused kernel on its slice; the row-parallel proj
-partials psum over 'model'. The fused FFN/OCAB routes fall back to XLA
+partials psum over 'model'. The fused MLP tails compose via HIDDEN
+parallelism the same way (parallel/tp_ffn.py: fc1-column / fc2-row slices
+of replicated weights, residual scaled 1/P, one psum). The remaining fused
+routes (OCAB attention, gated-dconv FFN, other archs) fall back to XLA
 under TP (tp_active()) so GSPMD shards their Megatron-laid-out weights.
 
 Expert parallelism has no target in this framework: the reference has no
@@ -124,7 +127,8 @@ def _divisible(spec: P, leaf, mesh: Mesh, axis: str) -> P:
 
 
 def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model",
-                    head_parallel_attn: bool = False) -> Any:
+                    head_parallel_attn: bool = False,
+                    hidden_parallel_mlp: bool = False) -> Any:
     """device_put `params` with the TP layout over `mesh[axis]`.
 
     Returns the sharded pytree; all non-matching params replicated over the
@@ -135,17 +139,48 @@ def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model",
     (`.../attn/{qkv,proj}`) replicated — the head-parallel fused-kernel
     route (parallel/tp_attention.py) slices them per device inside its
     shard_map, so a GSPMD column/row sharding would only force an
-    all-gather at the shard_map boundary."""
+    all-gather at the shard_map boundary.
+
+    hidden_parallel_mlp: likewise keep the Mlp fc1/fc2 weights replicated —
+    the hidden-parallel fused-FFN route (parallel/tp_ffn.py) slices the
+    hidden dim per device inside its shard_map."""
 
     def put(path, leaf):
         names = _path_names(path)
-        if head_parallel_attn and len(names) >= 3 and names[-3] == "attn":
+        if head_parallel_attn and len(names) >= 3 and (
+                names[-3] in ("attn", "overlap_attn")):
+            spec = P()
+        elif hidden_parallel_mlp and len(names) >= 2 and (
+                (len(names) >= 3 and names[-3] == "mlp")
+                or names[-2] in ("mlp_0", "mlp_2")):
             spec = P()
         else:
             spec = _divisible(tp_spec(path, leaf, axis), leaf, mesh, axis)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
+
+
+def mlp_hidden_divisible(params: Any, ntp: int) -> bool:
+    """True when every fused-routable MLP hidden dim (mlp/fc1 or mlp_0
+    kernels) divides ntp — the gate for the hidden-parallel fused-FFN
+    composition (parallel/tp_ffn.py). False when the tree has none."""
+    found = ok = True
+
+    def visit(path, leaf):
+        nonlocal found, ok
+        names = _path_names(path)
+        if names[-1] != "kernel" or leaf.ndim != 2:
+            return
+        if ((len(names) >= 3 and names[-3] == "mlp" and names[-2] == "fc1")
+                or names[-2] == "mlp_0"):
+            found = True
+            if leaf.shape[1] % ntp:
+                ok = False
+
+    found = False
+    jax.tree_util.tree_map_with_path(visit, params)
+    return found and ok
 
 
 def tp_sharded_fraction(params: Any, axis: str = "model") -> float:

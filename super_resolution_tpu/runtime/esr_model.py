@@ -140,7 +140,9 @@ class ESRModel(HATModel):
                     ema = state.ema_params
                 return TrainState(step=state.step + 1, params=params,
                                   ema_params=ema, opt_state=opt_state), logs
-            return jax.jit(step)
+            # state donated: the updated params/moments/EMA reuse the input
+            # buffers (optimize_parameters replaces self.state every call)
+            return jax.jit(step, donate_argnums=0)
 
         self._step_plain = make_step(False)
         self._step_mesa = make_step(True) if self.cri_mesa else None

@@ -128,7 +128,8 @@ class HiFaceGANModel(SRModel):
                               ema_params=state.ema_params,
                               opt_state=opt_state), logs, sr
 
-        self._g_step = jax.jit(g_step)
+        # G state donated (in-place update; the call site reassigns)
+        self._g_step = jax.jit(g_step, donate_argnums=0)
 
         def d_loss(d_params, lq, sr, gt):
             pred_fake, pred_real = self._discriminate(
@@ -144,7 +145,7 @@ class HiFaceGANModel(SRModel):
             updates, opt_state_d = tx_d.update(grads, opt_state_d, d_params)
             return optax.apply_updates(d_params, updates), opt_state_d, logs
 
-        self._d_step = jax.jit(d_step)
+        self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
 
     def optimize_parameters(self, batch, current_iter):
         self.feed_data(batch)

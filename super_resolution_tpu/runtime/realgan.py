@@ -335,7 +335,9 @@ class RealHATGANModel(HATModel):
                                ema_params=ema, opt_state=opt_state),
                     logs, sr, sn_stats)
 
-        self._g_step = jax.jit(g_step)
+        # G state donated (in-place params/moments/EMA update); d_params and
+        # sn_stats are read-only here and stay un-donated
+        self._g_step = jax.jit(g_step, donate_argnums=0)
 
         if net_d is not None:
             def d_loss(d_params, sn_stats, sr, gan_gt):
@@ -363,7 +365,9 @@ class RealHATGANModel(HATModel):
                 d_params = optax.apply_updates(d_params, updates)
                 return d_params, opt_state_d, new_stats, logs
 
-            self._d_step = jax.jit(d_step)
+            # d_params / opt_state_d / sn_stats all round-trip through the
+            # step and are reassigned at the call site — donate the trio
+            self._d_step = jax.jit(d_step, donate_argnums=(0, 1, 2))
 
         if ema_decay > 0:
             # the reference runs model_ema EVERY iteration, including ones
@@ -566,7 +570,7 @@ def attach_gan_training(model, mesh=None, video: bool = False):
         return (TrainState(step=state.step + 1, params=params, ema_params=ema,
                            opt_state=opt_state), logs, sr, sn_stats)
 
-    model._g_step = jax.jit(g_step)
+    model._g_step = jax.jit(g_step, donate_argnums=0)
 
     def d_loss(d_params, sn_stats, sr, gt):
         if has_sn_flag:
@@ -602,7 +606,7 @@ def attach_gan_training(model, mesh=None, video: bool = False):
         d_params = optax.apply_updates(d_params, updates)
         return d_params, opt_state_d, new_stats, logs
 
-    model._d_step = jax.jit(d_step)
+    model._d_step = jax.jit(d_step, donate_argnums=(0, 1, 2))
 
     if ema_decay > 0:
         # reference model_ema runs every iteration even when the G step is

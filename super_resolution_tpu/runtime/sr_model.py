@@ -221,31 +221,46 @@ class SRModel:
             # the pipe-stacked param layout
             self.state = self.state.replace(opt_state=match_param_layout(
                 self.state.opt_state, pp_params))
+            # donate the TrainState: params/moments/EMA update in place —
+            # one resident copy of the optimizer tree instead of two
+            # (optimize_parameters reassigns self.state from the output,
+            # so the donated input is never read again)
             self._train_step = jax.jit(
-                make_hat_pp_train_step(self.net_g, self.tx, train_opt, mesh))
+                make_hat_pp_train_step(self.net_g, self.tx, train_opt, mesh),
+                donate_argnums=0)
             self._pp_params_stale = True
         elif use_tp:
             # Megatron TP (parallel/tp.py): transformer matmuls sharded
             # over 'model', GSPMD inserts the collectives. The fused MSA
             # megakernels compose via HEAD parallelism (shard_map slices
             # the replicated attn weights per device —
-            # parallel/tp_attention.py); the other fused routes yield to
-            # XLA while tp_attention() is active (trace-time contextvar,
-            # no process-global env mutation).
+            # parallel/tp_attention.py) and the fused MLP tails via
+            # HIDDEN parallelism (parallel/tp_ffn.py); remaining fused
+            # routes yield to XLA while tp_attention() is active
+            # (trace-time contextvar, no process-global env mutation).
             from super_resolution_tpu.ops.attention import \
                 _pallas_attention_enabled
             from super_resolution_tpu.parallel.tp import shard_params_tp
 
             self._tp_attn_mesh = mesh
+            ntp = int(mesh.shape["model"])
             head_par = False
             if _pallas_attention_enabled():
                 heads = self.opt["network_g"].get("num_heads") or ()
-                ntp = int(mesh.shape["model"])
                 head_par = bool(heads) and all(
                     int(h) % ntp == 0 for h in np.atleast_1d(heads))
             self._tp_head_par = head_par
+            # fused-FFN composition: hidden dim sharded inside a shard_map
+            # (parallel/tp_ffn.py) — the fc1/fc2 weights stay replicated
+            from super_resolution_tpu.ops.pallas_ffn import ffn_fused_enabled
+            from super_resolution_tpu.parallel.tp import mlp_hidden_divisible
+
+            hid_par = (ffn_fused_enabled(ignore_tp=True)
+                       and mlp_hidden_divisible(self.params, ntp))
+            self._tp_hid_par = hid_par
             self.params = shard_params_tp(self.params, mesh,
-                                          head_parallel_attn=head_par)
+                                          head_parallel_attn=head_par,
+                                          hidden_parallel_mlp=hid_par)
             # under jit the EMA copy inherits the param layout, but the
             # optimizer moments are fresh zeros with no propagation source
             # and come out replicated — pin them to the param shardings
@@ -257,8 +272,9 @@ class SRModel:
                 self.state.opt_state, self.params))
             # computation follows the sharded operands (params in the TP
             # layout, batch on 'data'); explicit replicated out_shardings
-            # would undo the layout every step
-            self._train_step = jax.jit(step_fn)
+            # would undo the layout every step. State donated: the updated
+            # params/moments reuse the sharded input buffers in place.
+            self._train_step = jax.jit(step_fn, donate_argnums=0)
         else:
             self.state = init_train_state(self.params, self.tx,
                                           self.ema_decay)
@@ -272,9 +288,13 @@ class SRModel:
                                   {"lq": batch_sharding(mesh),
                                    "gt": batch_sharding(mesh)},
                                   replicated(mesh)),
-                    out_shardings=(replicated(mesh), replicated(mesh)))
+                    out_shardings=(replicated(mesh), replicated(mesh)),
+                    donate_argnums=0)
             else:
-                self._train_step = jax.jit(step_fn)
+                # donate the TrainState (params + Adam moments + EMA update
+                # in place): halves the train-state residency; the caller
+                # replaces self.state with the step output every iteration
+                self._train_step = jax.jit(step_fn, donate_argnums=0)
         self._train_rng = jax.random.PRNGKey(
             (self.opt.get("manual_seed") or 0) + 1)
         self.log_dict = {}
@@ -355,13 +375,16 @@ class SRModel:
             from super_resolution_tpu.parallel.tp import shard_params_tp
 
             head_par = getattr(self, "_tp_head_par", False)
+            hid_par = getattr(self, "_tp_hid_par", False)
             self.params = shard_params_tp(self.params, mesh,
-                                          head_parallel_attn=head_par)
+                                          head_parallel_attn=head_par,
+                                          hidden_parallel_mlp=hid_par)
         if "params_ema" in tree:
             self.ema_params = jax.tree.map(jnp.asarray, tree["params_ema"])
             if use_tp:
                 self.ema_params = shard_params_tp(
-                    self.ema_params, mesh, head_parallel_attn=head_par)
+                    self.ema_params, mesh, head_parallel_attn=head_par,
+                    hidden_parallel_mlp=hid_par)
         if getattr(self, "state", None) is not None:
             from super_resolution_tpu.runtime.train_loop import TrainState
 

@@ -135,7 +135,10 @@ class StyleGAN2Model:
             updates, opt_state_d = tx_d.update(grads, opt_state_d, params_d)
             return optax.apply_updates(params_d, updates), opt_state_d, logs
 
-        self._d_step = jax.jit(d_step, static_argnames=("do_r1",))
+        # params_d/opt_state_d donated (reassigned at the call site);
+        # params_g is a read-only arg and stays un-donated
+        self._d_step = jax.jit(d_step, static_argnames=("do_r1",),
+                               donate_argnums=(0, 1))
 
         def g_step(params_g, opt_state_g, params_d, noises, rng,
                    inject_index):
@@ -151,7 +154,7 @@ class StyleGAN2Model:
             updates, opt_state_g = tx_g.update(grads, opt_state_g, params_g)
             return optax.apply_updates(params_g, updates), opt_state_g, logs
 
-        self._g_step = jax.jit(g_step)
+        self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
 
         path_weight = self.path_reg_weight
         g_reg_every = self.net_g_reg_every
@@ -182,7 +185,7 @@ class StyleGAN2Model:
             return (optax.apply_updates(params_g, updates), opt_state_g,
                     new_mean, logs)
 
-        self._g_reg_step = jax.jit(g_reg_step)
+        self._g_reg_step = jax.jit(g_reg_step, donate_argnums=(0, 1))
 
     def mixing_noise(self, batch, prob, rng):
         """Host-side sampling (ref: stylegan2_model.py:141-146); returns

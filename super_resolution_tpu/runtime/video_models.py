@@ -138,7 +138,7 @@ class EDVRModel(VideoBaseModel):
             freeze = make_freeze_mask([("only", ("fusion",), tsa_iter)])
         step_fn = make_sr_train_step(self.net_g, self.tx, train_opt,
                                      grad_mask=freeze)
-        self._train_step = jax.jit(step_fn)
+        self._train_step = jax.jit(step_fn, donate_argnums=0)
         self._train_rng = jax.random.PRNGKey(
             (self.opt.get("manual_seed") or 0) + 1)
         self.log_dict = {}
@@ -177,7 +177,7 @@ class VideoRecurrentModel(VideoBaseModel):
             freeze = make_freeze_mask([(("spynet", "edvr"), fix_flow)])
         step_fn = make_sr_train_step(self.net_g, self.tx, train_opt,
                                      grad_mask=freeze)
-        self._train_step = jax.jit(step_fn)
+        self._train_step = jax.jit(step_fn, donate_argnums=0)
         self._train_rng = jax.random.PRNGKey(
             (self.opt.get("manual_seed") or 0) + 1)
         self.log_dict = {}

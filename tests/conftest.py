@@ -8,7 +8,12 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# SR_TPU_TEST_PLATFORM=axon runs the selected tests on the real chip
+# (the TPU registers under the 'axon' plugin name here) — needed for
+# behavior CPU cannot exercise (buffer donation is a no-op warning on
+# the host backend but enforced on device). Default stays cpu.
+_plat = os.environ.get("SR_TPU_TEST_PLATFORM", "cpu")
+os.environ.setdefault("JAX_PLATFORMS", _plat)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,7 +24,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # update below is authoritative.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _plat)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

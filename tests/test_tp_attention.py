@@ -82,9 +82,11 @@ def test_head_parallel_rejects_nondivisible_heads(rng):
 def _tiny_classic():
     from super_resolution_tpu.models.hat_classic_arch import HATClassic
 
+    # overlap_ratio 1.0 -> ow 16 (divisible by 8), so the fused OCAB route
+    # engages too and the full-net TP tests cover the head-parallel OCAB
     return HATClassic(img_size=16, embed_dim=32, depths=(2,),
                       num_heads=(4,), window_size=8, compress_ratio=4,
-                      squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
+                      squeeze_factor=8, conv_scale=0.01, overlap_ratio=1.0,
                       mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
 
 
@@ -178,3 +180,72 @@ def test_fused_route_gate_under_tp(monkeypatch):
     with tp_attention(_mesh_dp_tp()):
         assert not fused_route_enabled()
     assert fused_route_enabled()
+
+
+def _ocab_inputs(rng, b=2, hw=16, c=24, heads=4, ws=8, overlap=0.5):
+    ow = int(ws * (1 + overlap))
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    return dict(x=mk(b, hw, hw, c), lns=mk(c) + 1.0, lnb=mk(c),
+                w_q=mk(c, c), b_q=mk(c), w_kv=mk(c, 2 * c), b_kv=mk(2 * c),
+                w_proj=mk(c, c), b_proj=mk(c),
+                bias=mk(heads, ws * ws, ow * ow),
+                heads=heads, ws=ws, ow=ow)
+
+
+def test_head_parallel_ocab_forward_matches_reference(rng):
+    from super_resolution_tpu.ops.pallas_attention import ocab_block_reference
+    from super_resolution_tpu.parallel.tp_attention import \
+        head_parallel_ocab_block
+
+    i = _ocab_inputs(rng)
+    args = (i["x"], i["lns"], i["lnb"], i["w_q"], i["b_q"], i["w_kv"],
+            i["b_kv"], i["w_proj"], i["b_proj"], i["bias"])
+    ref = ocab_block_reference(*args, i["heads"], i["ws"], i["ow"])
+    out = jax.jit(lambda *a: head_parallel_ocab_block(
+        *a, heads=i["heads"], window_size=i["ws"], overlap_win=i["ow"],
+        mesh=_mesh_dp_tp()))(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_head_parallel_ocab_grads_match_reference(rng):
+    from super_resolution_tpu.ops.pallas_attention import ocab_block_reference
+    from super_resolution_tpu.parallel.tp_attention import \
+        head_parallel_ocab_block
+
+    i = _ocab_inputs(rng)
+    mesh = _mesh_dp_tp()
+    names = ("x", "lns", "lnb", "w_q", "b_q", "w_kv", "b_kv", "w_proj",
+             "b_proj", "bias")
+    args = tuple(i[n] for n in names)
+
+    def loss_hp(*a):
+        return jnp.sum(head_parallel_ocab_block(
+            *a, heads=i["heads"], window_size=i["ws"], overlap_win=i["ow"],
+            mesh=mesh) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(ocab_block_reference(
+            *a, i["heads"], i["ws"], i["ow"]) ** 2)
+
+    g_hp = jax.jit(jax.grad(loss_hp, argnums=tuple(range(10))))(*args)
+    g_rf = jax.jit(jax.grad(loss_ref, argnums=tuple(range(10))))(*args)
+    for n, a, b in zip(names, g_hp, g_rf):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-6,
+                                   err_msg=f"grad mismatch for {n}")
+
+
+def test_hat_classic_tp_ocab_weights_replicated(rng):
+    """head_parallel_attn replicates the OCAB qkv/proj too, so the
+    head-parallel OCAB shard_map needs no all-gather at its boundary."""
+    net = _tiny_classic()
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3)))["params"]
+    sharded = shard_params_tp(params, _mesh_dp_tp(),
+                              head_parallel_attn=True)
+    oa = sharded["layers_0"]["residual_group"]["overlap_attn"]
+    for mod in ("qkv", "proj"):
+        k = oa[mod]["kernel"]
+        assert k.addressable_shards[0].data.shape == k.shape, \
+            f"OCAB {mod} must stay replicated under head_parallel_attn"
