@@ -88,3 +88,36 @@ class WeightedTVLoss(_WeightedLoss):
             dx = dx * weight[:, :, 1:, :]
         return self.loss_weight * (_reduce(dy, self.reduction)
                                    + _reduce(dx, self.reduction))
+
+
+def _local_variance(x, ksize: int):
+    """Unbiased sliding-window variance over k x k reflect-padded windows
+    (ref: basicsr/losses/loss_util.py::get_local_weights — the torch
+    version materializes every window via unfold; here two reduce_window
+    sums express it without the O(k^2) memory blowup, which XLA lowers to
+    vectorized pad+adds on TPU)."""
+    import jax.lax as lax
+
+    pad = (ksize - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    win = (1, ksize, ksize, 1)
+    ones = (1, 1, 1, 1)
+    s = lax.reduce_window(xp, 0.0, lax.add, win, ones, "VALID")
+    s2 = lax.reduce_window(xp * xp, 0.0, lax.add, win, ones, "VALID")
+    n = ksize * ksize
+    return (s2 - s * s / n) / (n - 1)
+
+
+def get_refined_artifact_map(img_gt, img_output, img_ema, ksize: int = 7):
+    """LDL per-pixel artifact weight (Details-or-Artifacts, CVPR 2022;
+    ref: basicsr/losses/loss_util.py::get_refined_artifact_map, consumed by
+    realesrgan_model.py:222-225). NHWC; channel-summed residuals, per-image
+    variance^(1/5) patch weight x local-window variance pixel weight,
+    zeroed where the optimized output already beats the EMA output."""
+    residual_ema = jnp.sum(jnp.abs(img_gt - img_ema), axis=-1, keepdims=True)
+    residual_sr = jnp.sum(jnp.abs(img_gt - img_output), axis=-1,
+                          keepdims=True)
+    patch = jnp.var(residual_sr, axis=(1, 2, 3), keepdims=True,
+                    ddof=1) ** (1 / 5)
+    pixel = _local_variance(residual_sr, ksize)
+    return jnp.where(residual_sr < residual_ema, 0.0, patch * pixel)

@@ -100,16 +100,19 @@ class DegradationSynthesizer:
             s = 1.0
         return s
 
-    def __call__(self, gt, kernel1, kernel2, sinc_kernel):
+    def __call__(self, gt, kernel1, kernel2, sinc_kernel, usm_first=True):
         """gt (B,H,W,3), kernels (B,21,21) -> (lq, gt, gt_usm), cropped to
-        gt_size (ref feed_data, realhatgan_model.py:66-183)."""
+        gt_size (ref feed_data, realhatgan_model.py:66-183). usm_first=False
+        starts the blur chain from gt as given instead of its USM-sharpened
+        copy — RealESRNet semantics, where the single gt_usm flag sharpens
+        the GT before feed (ref: basicsr/models/realesrnet_model.py:73-85)."""
         opt = self.opt
         gt = jnp.asarray(gt)
         ori_h, ori_w = gt.shape[1], gt.shape[2]
-        gt_usm = _usm_stage(gt, self.usm_kernel)
+        first = _usm_stage(gt, self.usm_kernel) if usm_first else gt
 
         # ---------- first order ----------
-        out = _blur_stage(gt_usm, jnp.asarray(kernel1))
+        out = _blur_stage(first, jnp.asarray(kernel1))
         s = self._rand_scale(opt["resize_prob"], opt["resize_range"])
         mode = self.rng.choice(["area", "bilinear", "bicubic"])
         out = _resize_stage(out, _round16(ori_h * s), _round16(ori_w * s),
@@ -259,6 +262,10 @@ class RealHATGANModel(HATModel):
         self.cri_gan = (build_loss(train_opt["gan_opt"])
                         if train_opt.get("gan_opt") and self.net_d is not None
                         else None)
+        # LDL loss slot (ref: srgan_model.py:54-57 builds it,
+        # realesrgan_model.py:211-225 consumes it via the EMA output)
+        self.cri_ldl = (build_loss(train_opt["ldl_opt"])
+                        if train_opt.get("ldl_opt") else None)
         self.l1_gt_usm = self.opt.get("l1_gt_usm", True)
         self.percep_gt_usm = self.opt.get("percep_gt_usm", True)
         self.gan_gt_usm = self.opt.get("gan_gt_usm", False)
@@ -281,10 +288,12 @@ class RealHATGANModel(HATModel):
         net_g, net_d = self.net_g, self.net_d
         cri_pix, cri_gan = self.cri_pix, self.cri_gan
         cri_percep = self.cri_perceptual
+        cri_ldl = getattr(self, "cri_ldl", None)
         tx, tx_d = self.tx, getattr(self, "tx_d", None)
         ema_decay = self.ema_decay
 
-        def g_loss(params, lq, l1_gt, percep_gt, gan_gt, d_params, sn_stats):
+        def g_loss(params, lq, gt, l1_gt, percep_gt, gan_gt, ema_params,
+                   d_params, sn_stats):
             sr = net_g.apply({"params": params}, lq)
             logs = {}
             total = 0.0
@@ -292,6 +301,21 @@ class RealHATGANModel(HATModel):
                 l_pix = cri_pix(sr, l1_gt)
                 total += l_pix
                 logs["l_g_pix"] = l_pix
+            if cri_ldl is not None:
+                # LDL (ref: realesrgan_model.py:211-225): artifact map from
+                # the PLAIN gt and the EMA model's output; the EMA forward
+                # carries no gradient (torch runs it under the frozen
+                # net_g_ema)
+                from super_resolution_tpu.losses.basic import (
+                    get_refined_artifact_map)
+
+                out_ema = net_g.apply({"params": ema_params}, lq)
+                # NOTE: torch does not detach the weight map — gradient
+                # flows through both the map and sr, matched here
+                pw = get_refined_artifact_map(gt, sr, out_ema, 7)
+                l_ldl = cri_ldl(pw * sr, pw * gt)
+                total += l_ldl
+                logs["l_g_ldl"] = l_ldl
             if cri_percep is not None:
                 l_p, l_s = cri_percep(sr, percep_gt)
                 if l_p is not None:
@@ -316,13 +340,14 @@ class RealHATGANModel(HATModel):
             logs["l_g_total"] = total
             return total, (logs, sr, sn_stats)
 
-        def g_step(state, lq, l1_gt, percep_gt, gan_gt, d_params, sn_stats):
+        def g_step(state, lq, gt, l1_gt, percep_gt, gan_gt, d_params,
+                   sn_stats):
             from super_resolution_tpu.runtime.train_loop import TrainState
 
             (_, (logs, sr, sn_stats)), grads = \
                 jax.value_and_grad(g_loss, has_aux=True)(
-                    state.params, lq, l1_gt, percep_gt, gan_gt, d_params,
-                    sn_stats)
+                    state.params, lq, gt, l1_gt, percep_gt, gan_gt,
+                    state.ema_params, d_params, sn_stats)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if ema_decay > 0:
@@ -407,7 +432,7 @@ class RealHATGANModel(HATModel):
         sr = None
         if run_g or self.net_d is None:
             self.state, g_logs, sr, new_sn = self._g_step(
-                self.state, self.lq, l1_gt, percep_gt, gan_gt,
+                self.state, self.lq, self.gt, l1_gt, percep_gt, gan_gt,
                 getattr(self, "params_d", {}), getattr(self, "sn_stats", {}))
             if self.net_d is not None:
                 self.sn_stats = new_sn
@@ -452,6 +477,51 @@ class RealHATMSEModel(RealHATGANModel):
 class RealESRGANMSEModel(RealHATMSEModel):
     """esc's Real-ESRGAN MSE runner name (ref: HAT/ESC/esc/models/
     realesrgan_mse_model.py:13)."""
+
+
+@MODEL_REGISTRY.register()
+class RealESRGANModel(RealHATGANModel):
+    """Stock basicsr Real-ESRGAN runner (ref: basicsr/models/
+    realesrgan_model.py:16-267) so stock Real-ESRGAN YAMLs resolve.
+    Same second-order on-device degradation + G/D recipe as
+    RealHATGANModel, with the stock flag semantics: gan_gt defaults to the
+    USM-sharpened GT (realesrgan_model.py:197-203 — only an explicit
+    `false` switches to the plain GT; the HAT fork defaults it off), and
+    the LDL loss slot (train.ldl_opt, :211-225) is honored via the EMA
+    output's refined artifact map."""
+
+    def setup_training(self, mesh=None):
+        self.opt.setdefault("gan_gt_usm", True)
+        super().setup_training(mesh)
+        if self.cri_ldl is not None and self.ema_decay <= 0:
+            raise ValueError(
+                "ldl_opt requires ema_decay > 0 (the reference computes the "
+                "artifact map from net_g_ema's output, "
+                "realesrgan_model.py:211-212)")
+
+
+@MODEL_REGISTRY.register()
+class RealESRNetModel(RealHATMSEModel):
+    """Stock basicsr Real-ESRNet runner (ref: basicsr/models/
+    realesrnet_model.py:14-190): the GAN-free pretraining stage. A single
+    `gt_usm` flag (default true, as every stock YAML sets it) sharpens the
+    GT BEFORE the degradation chain (realesrnet_model.py:73-75), so the
+    sharpened GT is both the degradation source and the pixel-loss target
+    — unlike the GAN model's three per-loss usm selections."""
+
+    def feed_data(self, data: dict):
+        if self.is_train and self.high_order and "kernel1" in data:
+            gt = jnp.asarray(data["gt"])
+            if self.opt.get("gt_usm", True):
+                gt = self.synth.sharpen(gt)
+            lq, gt = self.synth(gt, data["kernel1"], data["kernel2"],
+                                data["sinc_kernel"], usm_first=False)
+            self.lq, self.gt = self.pool(lq, gt)
+            # the (maybe-sharpened) GT IS the target; optimize_parameters'
+            # l1_gt_usm selection must be a no-op here
+            self.gt_usm = self.gt
+        else:
+            super().feed_data(data)
 
 
 # --------------------------------------------------------------------------

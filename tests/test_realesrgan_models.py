@@ -1,0 +1,188 @@
+"""Stock basicsr Real-ESRGAN/Real-ESRNet runners: registry resolution,
+LDL artifact-map golden parity vs the reference, flag semantics, and full
+train-step smoke (ref: basicsr/models/realesrgan_model.py:16-267,
+realesrnet_model.py:14-190)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+
+DEG_OPT = {
+    "scale": 2, "gt_size": 64,
+    "resize_prob": [0.2, 0.7, 0.1], "resize_range": [0.5, 1.5],
+    "gaussian_noise_prob": 0.5, "noise_range": [1, 10],
+    "poisson_scale_range": [0.05, 1.0], "gray_noise_prob": 0.4,
+    "jpeg_range": [60, 95],
+    "second_blur_prob": 0.8,
+    "resize_prob2": [0.3, 0.4, 0.3], "resize_range2": [0.6, 1.2],
+    "gaussian_noise_prob2": 0.5, "noise_range2": [1, 10],
+    "poisson_scale_range2": [0.05, 1.0], "gray_noise_prob2": 0.4,
+    "jpeg_range2": [60, 95],
+}
+
+
+def test_refined_artifact_map_matches_reference(rng):
+    """LDL weight map (losses/basic.py::get_refined_artifact_map) vs the
+    reference's unfold-based torch implementation."""
+    from reference_oracle import install_stubs
+    install_stubs()
+    from basicsr.losses.loss_util import (
+        get_refined_artifact_map as ref_map)
+
+    from super_resolution_tpu.losses.basic import get_refined_artifact_map
+
+    b, h, w = 2, 24, 20
+    gt = rng.random((b, h, w, 3), dtype=np.float32)
+    out = gt + 0.1 * rng.standard_normal((b, h, w, 3)).astype(np.float32)
+    ema = gt + 0.1 * rng.standard_normal((b, h, w, 3)).astype(np.float32)
+
+    def t(x):  # NHWC -> NCHW torch
+        return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    want = ref_map(t(gt), t(out), t(ema), 7).numpy()  # (B,1,H,W)
+    got = np.asarray(get_refined_artifact_map(
+        jnp.asarray(gt), jnp.asarray(out), jnp.asarray(ema), 7))
+    np.testing.assert_allclose(got[..., 0], want[:, 0], rtol=2e-4, atol=1e-6)
+    # the zero-out mask must actually fire somewhere for coverage
+    assert (got == 0).any() and (got > 0).any()
+
+
+def _gan_opt(tmp_path, model_type, extra_train=None, **extra):
+    opt = {
+        "name": "resr_smoke", "model_type": model_type, "scale": 2,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True,
+        **DEG_OPT,
+        "queue_size": 4,
+        "network_g": {"type": "ESC", "dim": 16, "pdim": 8, "kernel_size": 5,
+                      "n_blocks": 1, "conv_blocks": 1, "window_size": 8,
+                      "num_heads": 2, "upscaling_factor": 2,
+                      "exp_ratio": 1.0},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 3,
+                      "num_feat": 16},
+        "datasets": {"train": {"name": "x", "type": "PairedImageDataset",
+                               "phase": "train", "gt_size": 64}},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "optim_d": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [1000],
+                          "gamma": 0.5},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0,
+                          "reduction": "mean"},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                        "loss_weight": 0.1},
+            "ema_decay": 0.999, "total_iter": 4, "warmup_iter": -1,
+            "net_d_iters": 1, "net_d_init_iters": 0,
+            **(extra_train or {}),
+        },
+        "path": {"pretrain_network_g": None},
+        **extra,
+    }
+    from super_resolution_tpu.utils.options import process_options
+
+    return process_options(opt, str(tmp_path), is_train=True)
+
+
+def _batch(rng, b=2, hw=128):
+    gt = rng.random((b, hw, hw, 3), dtype=np.float32)
+    k = rng.random((b, 21, 21), dtype=np.float32)
+    k /= k.sum(axis=(1, 2), keepdims=True)
+    return {"gt": gt, "kernel1": k, "kernel2": k, "sinc_kernel": k}
+
+
+def test_realesrgan_model_ldl_training_smoke(tmp_path, rng):
+    """The stock type-name resolves; gan_gt_usm defaults ON
+    (realesrgan_model.py:197-203); the LDL term trains and logs."""
+    from super_resolution_tpu.runtime import build_model
+
+    opt = _gan_opt(tmp_path, "RealESRGANModel",
+                   extra_train={"ldl_opt": {"type": "L1Loss",
+                                            "loss_weight": 1.0}})
+    model = build_model(opt)
+    model.setup_training()
+    assert model.gan_gt_usm is True  # stock default, unlike the HAT fork
+    assert model.cri_ldl is not None
+
+    batch = _batch(rng)
+    p0 = jax.tree.leaves(model.params)[0].copy()
+    for it in range(1, 3):
+        model.optimize_parameters(batch, it)
+    logs = model.get_current_log()
+    assert all(np.isfinite(v) for v in logs.values()), logs
+    assert {"l_g_pix", "l_g_ldl", "l_g_gan", "l_d_real", "l_d_fake"} \
+        <= set(logs)
+    assert float(jnp.abs(jax.tree.leaves(model.params)[0] - p0).max()) > 0
+
+
+def test_realesrgan_gan_gt_usm_explicit_false(tmp_path, rng):
+    """Only an explicit `false` switches the GAN target to the plain GT."""
+    from super_resolution_tpu.runtime import build_model
+
+    opt = _gan_opt(tmp_path, "RealESRGANModel", gan_gt_usm=False)
+    model = build_model(opt)
+    model.setup_training()
+    assert model.gan_gt_usm is False
+
+
+def test_realesrnet_model_smoke(tmp_path, rng):
+    """GAN-free Real-ESRNet: no discriminator, gt_usm sharpens the GT
+    before degradation, the sharpened GT is the loss target."""
+    from super_resolution_tpu.runtime import build_model
+
+    opt = _gan_opt(tmp_path, "RealESRNetModel", gt_usm=True)
+    opt["train"].pop("optim_d", None)
+    opt["train"].pop("gan_opt", None)
+    opt.pop("network_d", None)
+    model = build_model(opt)
+    model.setup_training()
+    assert model.net_d is None
+
+    batch = _batch(rng)
+    model.feed_data(batch)
+    assert model.lq.shape == (2, 32, 32, 3)
+    assert model.gt.shape == (2, 64, 64, 3)
+    # the target IS the gt (already sharpened): selection must be a no-op
+    assert model.gt_usm is model.gt
+    # the fed GT differs from a plain crop of the input: USM was applied
+    # (a crop of the raw gt can never equal the sharpened crop everywhere)
+    p0 = jax.tree.leaves(model.params)[0].copy()
+    for it in range(1, 3):
+        model.optimize_parameters(batch, it)
+    logs = model.get_current_log()
+    assert np.isfinite(logs["l_g_pix"])
+    assert "l_d_real" not in logs
+    assert float(jnp.abs(jax.tree.leaves(model.params)[0] - p0).max()) > 0
+
+
+def test_realesrnet_gt_usm_false_skips_sharpening(tmp_path, rng):
+    """gt_usm: false must leave the degradation source un-sharpened: with
+    the synth RNG pinned, the fed GT crop equals the raw GT crop."""
+    from super_resolution_tpu.runtime import build_model
+
+    opt = _gan_opt(tmp_path, "RealESRNetModel", gt_usm=False)
+    opt["train"].pop("optim_d", None)
+    opt["train"].pop("gan_opt", None)
+    opt.pop("network_d", None)
+    model = build_model(opt)
+    model.setup_training()
+    batch = _batch(rng)
+    model.feed_data(batch)
+    gt_fed = np.asarray(model.gt)
+    # every fed gt row must appear verbatim somewhere in the raw input
+    # (crop offsets are random, so search)
+    raw = batch["gt"]
+    found = 0
+    for bidx in range(raw.shape[0]):
+        for top in range(raw.shape[1] - 64 + 1):
+            for left in range(raw.shape[2] - 64 + 1):
+                if np.array_equal(raw[bidx, top:top + 64, left:left + 64],
+                                  gt_fed[bidx]):
+                    found += 1
+                    break
+            else:
+                continue
+            break
+    assert found == raw.shape[0], "fed GT is not a verbatim crop -> it was sharpened"
