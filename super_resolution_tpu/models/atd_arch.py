@@ -428,6 +428,37 @@ class ATD(nn.Module):
         else:
             raise NotImplementedError(self.upsampler)
 
+    def head(self, x):
+        """Everything ahead of the ATDB stack — the pipeline-stage split
+        (parallel/pipeline.py): each ATDB carries its own token dictionary
+        param, so the stack is a clean chain of self-contained,
+        shape-preserving stages. Requires window-multiple input; see
+        SwinIR.head for why."""
+        if x.shape[1] % self.window_size or x.shape[2] % self.window_size:
+            raise ValueError(
+                "pipelined ATD needs window-multiple input; pad like "
+                "HATModel.pre_process / the tile engine does")
+        from super_resolution_tpu.models.arch_util import MeanShift
+
+        x = MeanShift.normalize(x, self.img_range)
+        feat = self.conv_first(x)
+        return feat, self.patch_embed(feat)
+
+    def tail(self, body, feat):
+        """Post-body norm/conv + global residual + reconstruction."""
+        from super_resolution_tpu.models.arch_util import MeanShift
+
+        body = self.norm(body)
+        feat = self.conv_after_body(body) + feat
+        if self.upsampler == "pixelshuffle":
+            y = nn.leaky_relu(self.conv_before_upsample_0(feat))
+            for conv, r in zip(self.upsample_convs, self.upsample_factors):
+                y = pixel_shuffle(conv(y), r)
+            out = self.conv_last(y)
+        else:
+            out = pixel_shuffle(self.upsample_0(feat), self.upscale)
+        return MeanShift.denormalize(out, self.img_range)
+
     def __call__(self, x, deterministic: bool = True):
         h_ori, w_ori = x.shape[1], x.shape[2]
         mod = self.window_size

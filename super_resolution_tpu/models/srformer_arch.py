@@ -359,6 +359,34 @@ class SRFormer(nn.Module):
             x = layer(x, deterministic)
         return self.norm(x)
 
+    def head(self, x):
+        """Everything ahead of the PSA-group stack — the pipeline-stage
+        split (parallel/pipeline.py). Requires window-multiple input; see
+        SwinIR.head for why."""
+        if x.shape[1] % self.window_size or x.shape[2] % self.window_size:
+            raise ValueError(
+                "pipelined SRFormer needs window-multiple input; pad like "
+                "HATModel.pre_process / the tile engine does")
+        x = MeanShift.normalize(x, self.img_range)
+        feat = self.conv_first(x)
+        return feat, self.patch_embed(feat)
+
+    def tail(self, body, feat):
+        """Post-body norm/conv + global residual + reconstruction."""
+        body = self.norm(body)
+        feat = self.conv_after_body(body) + feat
+        if self.upsampler == "pixelshuffle":
+            y = nn.leaky_relu(self.conv_before_upsample_0(feat))
+            for conv, r in zip(self.upsample_convs, self.upsample_factors):
+                y = pixel_shuffle(conv(y), r)
+            out = self.conv_last(y)
+        elif self.upsampler == "pixelshuffledirect":
+            out = pixel_shuffle(self.upsample_0(feat), self.upscale)
+        else:
+            raise NotImplementedError(
+                "pipelined SRFormer supports the SR upsampler branches only")
+        return MeanShift.denormalize(out, self.img_range)
+
     def __call__(self, x, deterministic: bool = True):
         h, w = x.shape[1], x.shape[2]
         ws = self.window_size

@@ -289,6 +289,52 @@ class SwinIR(nn.Module):
             x = layer(x, deterministic)
         return self.norm(x)
 
+    def head(self, x):
+        """Everything ahead of the RSTB stack, split out so
+        parallel/pipeline.py can run the (structurally identical,
+        shape-preserving) RSTBs as pipeline stages across a mesh axis.
+        Requires window-multiple input (the tile engine's padded tiles
+        satisfy this); __call__'s internal pad would otherwise make the
+        tail's crop shape data-dependent."""
+        if x.shape[1] % self.window_size or x.shape[2] % self.window_size:
+            raise ValueError(
+                "pipelined SwinIR needs window-multiple input; pad like "
+                "HATModel.pre_process / the tile engine does")
+        if self.in_chans == 3:
+            x = MeanShift.normalize(x, self.img_range)
+        else:
+            x = x * self.img_range
+        feat = self.conv_first(x)
+        return feat, self.patch_embed(feat)
+
+    def tail(self, body, feat):
+        """Post-body norm/conv + global residual + reconstruction (the
+        pixel-shuffle upsampler branches of __call__)."""
+        body = self.norm(body)
+        feat = self._after_body(body) + feat
+        if self.upsampler == "pixelshuffle":
+            y = nn.leaky_relu(self.conv_before_upsample_0(feat))
+            for conv, r in zip(self.upsample_convs, self.upsample_factors):
+                y = pixel_shuffle(conv(y), r)
+            out = self.conv_last(y)
+        elif self.upsampler == "pixelshuffledirect":
+            out = pixel_shuffle(self.upsample_0(feat), self.upscale)
+        elif self.upsampler == "nearest+conv":
+            y = nn.leaky_relu(self.conv_before_upsample_0(feat))
+            y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+            y = nn.leaky_relu(self.conv_up1(y), negative_slope=0.2)
+            y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+            y = nn.leaky_relu(self.conv_up2(y), negative_slope=0.2)
+            out = self.conv_last(nn.leaky_relu(self.conv_hr(y),
+                                               negative_slope=0.2))
+        else:
+            raise NotImplementedError(
+                "pipelined SwinIR supports the SR upsampler branches only "
+                "(the denoise path residual-adds the raw input in tail)")
+        if self.in_chans == 3:
+            return MeanShift.denormalize(out, self.img_range)
+        return out / self.img_range
+
     def __call__(self, x, deterministic: bool = True):
         # window-multiple reflect pad + final crop, inside the arch like
         # the reference (check_image_size — esc_arb/models/swinir.py:790-795,

@@ -124,78 +124,169 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         outbuf = jnp.where(idx == npipe - 1, outbuf, 0)
         return jax.lax.psum(outbuf, axis)
 
+    # only `axis` is manual; any other mesh axes (e.g. 'model') stay
+    # automatic, so GSPMD partitions the per-stage math over them — this is
+    # what makes the TP x PP composition work: stage params arrive sharded
+    # (pipe, ..., model) and the XLA partitioner inserts the Megatron
+    # collectives inside each tick while ppermute rides the manual pipe ring
     out = jax.shard_map(
         worker, mesh=mesh,
         in_specs=(P(axis), P(*([None] * mbs.ndim))),
-        out_specs=P(*([None] * mbs.ndim)))(stacked_params, mbs)
+        out_specs=P(*([None] * mbs.ndim)),
+        axis_names={axis})(stacked_params, mbs)
     return out.reshape(x.shape)
 
 
-def hat_classic_stage(net):
-    """(stage module, stage param names) for pipelining a HATClassic or
-    fork-HAT net: one RHAG standing in for every group. Requires equal
-    group configs (the flagship's (6,)*6 qualifies). Drop-path rates are
-    stage-0's — stages are applied deterministically in the pipeline
-    (drop-path is a regularizer, inactive both at inference and in PP
-    training; see make_hat_pp_train_step)."""
+def pp_stage(net):
+    """(stage module, stage param names, stage_apply) for pipelining the
+    residual-group stack of a supported arch — one group module standing in
+    for every group. Requires equal group configs (the flagships'
+    (6,)*N qualify). Drop-path rates are stage-0's — stages are applied
+    deterministically in the pipeline (drop-path is a regularizer, inactive
+    both at inference and in PP training; see make_pp_train_step).
+
+    Supported stacks (all shape-preserving token maps between a `head`
+    split and a `tail` split on the arch):
+      HAT / HATClassic  — RHAG        (ref: hat_arch.py:484-556)
+      SwinIR            — RSTB        (ref: basicsr/archs/swinir_arch.py:480-567)
+      SRFormer          — PSAGroup    (ref: hat/archs/srformer_arch.py groups)
+      ATD               — ATDB        (ref: hat/archs/atd_arch.py:657-735;
+                          each block owns its token dictionary param, so
+                          blocks are self-contained stages)
+    """
+    import flax.linen as nn
+
     from super_resolution_tpu.models.hat_arch import HAT, RHAG
     from super_resolution_tpu.models.hat_classic_arch import (HATClassic,
                                                               RHAGClassic)
 
     if len(set(net.depths)) != 1 or len(set(net.num_heads)) != 1:
-        raise ValueError("pipelining needs identical RHAG configs; got "
+        raise ValueError("pipelining needs identical group configs; got "
                          f"depths={net.depths} heads={net.num_heads}")
     names = [f"layers_{i}" for i in range(len(net.depths))]
-    dpr = np.linspace(0, net.drop_path_rate, sum(net.depths)).tolist()
-    common = dict(
-        dim=net.embed_dim, depth=net.depths[0], num_heads=net.num_heads[0],
-        window_size=net.window_size, compress_ratio=net.compress_ratio,
-        squeeze_factor=net.squeeze_factor, conv_scale=net.conv_scale,
-        overlap_ratio=net.overlap_ratio, mlp_ratio=net.mlp_ratio,
-        drop_path_rates=tuple(dpr[:net.depths[0]]),
-        resi_connection=net.resi_connection)
-    if type(net) is HATClassic:
-        return RHAGClassic(**common), names
-    if type(net) is HAT:
-        import flax.linen as nn
+    dpr = np.linspace(0, getattr(net, "drop_path_rate", 0.0),
+                      sum(net.depths)).tolist()
 
-        cls = (nn.remat(RHAG, static_argnums=(2,)) if net.use_checkpoint
-               else RHAG)
-        return cls(**common, esc_pdim=net.esc_pdim,
-                   esc_kernel=net.esc_kernel,
-                   ocab_esc_enable=net.ocab_esc_enable,
-                   ocab_esc_pdim=net.ocab_esc_pdim,
-                   ocab_esc_kernel=net.ocab_esc_kernel), names
+    def det_apply(stage):
+        return lambda p, a: stage.apply({"params": p}, a, True)
+
+    if type(net) is HATClassic or type(net) is HAT:
+        common = dict(
+            dim=net.embed_dim, depth=net.depths[0],
+            num_heads=net.num_heads[0], window_size=net.window_size,
+            compress_ratio=net.compress_ratio,
+            squeeze_factor=net.squeeze_factor, conv_scale=net.conv_scale,
+            overlap_ratio=net.overlap_ratio, mlp_ratio=net.mlp_ratio,
+            drop_path_rates=tuple(dpr[:net.depths[0]]),
+            resi_connection=net.resi_connection)
+        if type(net) is HATClassic:
+            stage = RHAGClassic(**common)
+        else:
+            cls = (nn.remat(RHAG, static_argnums=(2,)) if net.use_checkpoint
+                   else RHAG)
+            stage = cls(**common, esc_pdim=net.esc_pdim,
+                        esc_kernel=net.esc_kernel,
+                        ocab_esc_enable=net.ocab_esc_enable,
+                        ocab_esc_pdim=net.ocab_esc_pdim,
+                        ocab_esc_kernel=net.ocab_esc_kernel)
+        return stage, names, det_apply(stage)
+
+    from super_resolution_tpu.models.atd_arch import ATD, ATDB
+    from super_resolution_tpu.models.srformer_arch import PSAGroup, SRFormer
+    from super_resolution_tpu.models.swinir_arch import RSTB, SwinIR
+
+    if type(net) is SwinIR:
+        cls = (nn.remat(RSTB, static_argnums=(2,)) if net.use_checkpoint
+               else RSTB)
+        stage = cls(dim=net.embed_dim, depth=net.depths[0],
+                    num_heads=net.num_heads[0],
+                    window_size=net.window_size, mlp_ratio=net.mlp_ratio,
+                    drop_path_rates=tuple(dpr[:net.depths[0]]),
+                    resi_connection=net.resi_connection)
+        return stage, names, det_apply(stage)
+    if type(net) is SRFormer:
+        cls = (nn.remat(PSAGroup, static_argnums=(2,)) if net.use_checkpoint
+               else PSAGroup)
+        stage = cls(dim=net.embed_dim, depth=net.depths[0],
+                    num_heads=net.num_heads[0],
+                    window_size=net.window_size, mlp_ratio=net.mlp_ratio,
+                    drop_path_rates=tuple(dpr[:net.depths[0]]),
+                    resi_connection=net.resi_connection)
+        return stage, names, det_apply(stage)
+    if type(net) is ATD:
+        cls = nn.remat(ATDB) if net.use_checkpoint else ATDB
+        stage = cls(dim=net.embed_dim, depth=net.depths[0],
+                    num_heads=net.num_heads[0],
+                    window_size=net.window_size,
+                    category_size=net.category_size,
+                    num_tokens=net.num_tokens,
+                    reducted_dim=net.reducted_dim,
+                    convffn_kernel_size=net.convffn_kernel_size,
+                    mlp_ratio=net.mlp_ratio,
+                    resi_connection=net.resi_connection)
+        return stage, names, lambda p, a: stage.apply({"params": p}, a)
     raise NotImplementedError(
-        f"pipeline stages for {type(net).__name__}; HATClassic and HAT "
-        "group stacks are supported")
+        f"pipeline stages for {type(net).__name__}; HAT/HATClassic/SwinIR/"
+        "SRFormer/ATD group stacks are supported")
 
 
-def hat_classic_pipeline_forward(net, params: Any, x: jnp.ndarray,
-                                 mesh: Mesh, axis: str = "pipe",
-                                 microbatches: int | None = None):
-    """Whole-model pipelined inference for HATClassic: replicated head and
-    tail (tiny — two convs + LN), RHAG stack pipelined over mesh[axis]."""
-    stage, names = hat_classic_stage(net)
+def hat_classic_stage(net):
+    """Back-compat shim: (stage module, stage param names)."""
+    stage, names, _ = pp_stage(net)
+    return stage, names
+
+
+def pipeline_forward(net, params: Any, x: jnp.ndarray,
+                     mesh: Mesh, axis: str = "pipe",
+                     microbatches: int | None = None):
+    """Whole-model pipelined inference: replicated head and tail (tiny —
+    two convs + LN), residual-group stack pipelined over mesh[axis]. Works
+    for every arch pp_stage supports."""
+    _, names, stage_apply = pp_stage(net)
     stacked = stack_stage_params(params, names)
     feat, body = net.apply({"params": params}, x, method="head")
-    body = pipeline_apply(
-        lambda p, a: stage.apply({"params": p}, a, True),
-        stacked, body, mesh, axis=axis, microbatches=microbatches)
+    body = pipeline_apply(stage_apply, stacked, body, mesh, axis=axis,
+                          microbatches=microbatches)
     return net.apply({"params": params}, body, feat, method="tail")
 
 
-def init_pp_params(net, params: Any, mesh: Mesh, axis: str = "pipe"):
+# historical name (r3) — the forward was generalized beyond HATClassic
+hat_classic_pipeline_forward = pipeline_forward
+
+
+def init_pp_params(net, params: Any, mesh: Mesh, axis: str = "pipe",
+                   tp_axis: str | None = None):
     """Split + device_put the flax param tree into the PP layout:
     {'stages': stacked stage slices sharded P(axis) (each pipe device holds
-    only its chunk), 'rest': head/tail replicated over the mesh}."""
-    stage, names = hat_classic_stage(net)
+    only its chunk), 'rest': head/tail replicated over the mesh}.
+
+    tp_axis: also shard the transformer matmuls of each stage slice over
+    this mesh axis with the Megatron column/row layout (parallel/tp.py
+    rules, shifted one dim right for the leading stage axis) — the TP x PP
+    composition. pipeline_apply keeps non-pipe axes automatic, so GSPMD
+    inserts the TP collectives inside each pipeline tick."""
+    _, names, _ = pp_stage(net)
     stacked, rest = split_stage_params(params, names)
     from jax.sharding import NamedSharding
 
-    stacked = jax.tree.map(
-        lambda v: jax.device_put(v, NamedSharding(
-            mesh, P(axis, *([None] * (v.ndim - 1))))), stacked)
+    if tp_axis is None:
+        stacked = jax.tree.map(
+            lambda v: jax.device_put(v, NamedSharding(
+                mesh, P(axis, *([None] * (v.ndim - 1))))), stacked)
+    else:
+        import types
+
+        from super_resolution_tpu.parallel.tp import _divisible, tp_spec
+
+        def put(path, v):
+            # evaluate the TP rule on the per-stage view (dims 1:) then
+            # prepend the pipe axis
+            view = types.SimpleNamespace(ndim=v.ndim - 1, shape=v.shape[1:])
+            spec = _divisible(tp_spec(path, view, tp_axis), view, mesh,
+                              tp_axis)
+            return jax.device_put(v, NamedSharding(mesh, P(axis, *spec)))
+
+        stacked = jax.tree_util.tree_map_with_path(put, stacked)
     rest = jax.tree.map(
         lambda v: jax.device_put(v, NamedSharding(mesh, P())), rest)
     return {"stages": stacked, "rest": rest}
@@ -204,7 +295,7 @@ def init_pp_params(net, params: Any, mesh: Mesh, axis: str = "pipe"):
 def merge_pp_params(net, pp_params: Any) -> Any:
     """PP layout -> plain flax param tree (replicated): for checkpoints and
     the (non-pipelined) inference path."""
-    _, names = hat_classic_stage(net)
+    _, names, _ = pp_stage(net)
     return merge_stage_params(pp_params["stages"], pp_params["rest"], names)
 
 
@@ -240,7 +331,7 @@ def make_hat_pp_train_step(net, tx, train_opt: dict, mesh: Mesh,
     cri_pix = build_loss(train_opt["pixel_opt"])
     ema_decay = train_opt.get("ema_decay", 0)
     use_amp = bool(train_opt.get("use_amp", False))
-    stage, _ = hat_classic_stage(net)
+    _, _, stage_apply = pp_stage(net)
 
     def loss_fn(pp_params, batch):
         rest, stages = pp_params["rest"], pp_params["stages"]
@@ -252,9 +343,8 @@ def make_hat_pp_train_step(net, tx, train_opt: dict, mesh: Mesh,
             stages = jax.tree.map(cast, stages)
             lq = lq.astype(jnp.bfloat16)
         feat, body = net.apply({"params": rest}, lq, method="head")
-        body = pipeline_apply(
-            lambda p, a: stage.apply({"params": p}, a, True),
-            stages, body, mesh, axis=axis, microbatches=microbatches)
+        body = pipeline_apply(stage_apply, stages, body, mesh, axis=axis,
+                              microbatches=microbatches)
         sr = net.apply({"params": rest}, body, feat,
                        method="tail").astype(jnp.float32)
         l_pix = cri_pix(sr, batch["gt"])
@@ -276,3 +366,7 @@ def make_hat_pp_train_step(net, tx, train_opt: dict, mesh: Mesh,
                           ema_params=ema, opt_state=opt_state), logs
 
     return train_step
+
+
+# historical name (r4) — the train step was generalized beyond HAT
+make_pp_train_step = make_hat_pp_train_step

@@ -205,14 +205,19 @@ class SRModel:
             # backward = reverse-mode through the schedule. Params live in
             # the {'stages','rest'} layout; the inference path merges
             # lazily (_sync_from_state).
-            if use_tp:
-                raise NotImplementedError(
-                    "mesh: {model, pipe} composition is not wired; use one "
-                    "of TP or PP per run")
+            # TP x PP composition (r5): stage-local Megatron TP inside each
+            # pipe stage — stage params sharded (pipe, ..., model), GSPMD
+            # partitions the per-tick math over 'model' (pipeline_apply
+            # keeps non-pipe axes automatic) while ppermute rides the pipe
+            # ring. The Pallas TP megakernel routes (tp_attention/tp_ffn)
+            # stay off here — those shard_maps can't nest inside the manual
+            # pipe region; the XLA path carries the TP collectives.
             from super_resolution_tpu.parallel.pipeline import (
                 init_pp_params, make_hat_pp_train_step)
 
-            pp_params = init_pp_params(self.net_g, self.params, mesh)
+            pp_params = init_pp_params(
+                self.net_g, self.params, mesh,
+                tp_axis="model" if use_tp else None)
             from super_resolution_tpu.parallel.tp import match_param_layout
 
             self.state = jax.jit(lambda p: init_train_state(
@@ -409,9 +414,12 @@ class SRModel:
                 from super_resolution_tpu.parallel.pipeline import \
                     init_pp_params
 
-                state_params = init_pp_params(self.net_g, self.params, mesh)
+                tp_ax = "model" if use_tp else None
+                state_params = init_pp_params(self.net_g, self.params, mesh,
+                                              tp_axis=tp_ax)
                 if ema is not None:
-                    ema = init_pp_params(self.net_g, ema, mesh)
+                    ema = init_pp_params(self.net_g, ema, mesh,
+                                         tp_axis=tp_ax)
                 self._pp_params_stale = False
             self.state = TrainState(
                 step=jnp.asarray(tree["iter"], jnp.int32),

@@ -262,3 +262,147 @@ def test_hat_classic_pipeline_rejects_ragged_groups():
     with pytest.raises(ValueError, match="identical RHAG"):
         hat_classic_pipeline_forward(net, {}, jnp.zeros((2, 16, 16, 3)),
                                      mesh)
+
+
+@pytest.mark.parametrize("arch", ["swinir", "srformer", "atd"])
+def test_generalized_pipelined_forward_matches_plain(arch):
+    """r5: stage extraction generalized beyond the HAT families — the
+    SwinIR RSTB / SRFormer PSAGroup / ATD ATDB stacks pipeline with the
+    same head/stack/tail split (ref pattern: basicsr/archs/
+    swinir_arch.py:95-192 RSTB stack)."""
+    from super_resolution_tpu.parallel.pipeline import pipeline_forward
+
+    if arch == "swinir":
+        from super_resolution_tpu.models.swinir_arch import SwinIR
+
+        net = SwinIR(img_size=16, embed_dim=16, depths=(2, 2),
+                     num_heads=(2, 2), window_size=8, mlp_ratio=2.0,
+                     drop_path_rate=0.0, upscale=2,
+                     upsampler="pixelshuffle")
+    elif arch == "srformer":
+        from super_resolution_tpu.models.srformer_arch import SRFormer
+
+        net = SRFormer(img_size=16, embed_dim=16, depths=(2, 2),
+                       num_heads=(2, 2), window_size=8, mlp_ratio=2.0,
+                       drop_path_rate=0.0, upscale=2,
+                       upsampler="pixelshuffle")
+    else:
+        from super_resolution_tpu.models.atd_arch import ATD
+
+        net = ATD(img_size=16, embed_dim=16, depths=(2, 2),
+                  num_heads=(2, 2), window_size=8, category_size=16,
+                  num_tokens=8, reducted_dim=4, convffn_kernel_size=5,
+                  mlp_ratio=2.0, upscale=2, upsampler="pixelshuffle")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    ref = jax.jit(net.apply)({"params": params}, x)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pipe",))
+    out = pipeline_forward(net, params, x, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_swinir_pp_train_step_matches_plain():
+    """GPipe training parity for SwinIR (VERDICT r4 item 5): pipelined
+    losses and merged post-step params track the plain step at ~1e-5."""
+    from super_resolution_tpu.models.swinir_arch import SwinIR
+    from super_resolution_tpu.parallel.pipeline import (
+        init_pp_params, make_pp_train_step, merge_pp_params)
+    from super_resolution_tpu.runtime.train_loop import (
+        build_optimizer, init_train_state, make_sr_train_step)
+
+    net = SwinIR(img_size=16, embed_dim=16, depths=(1,) * 4,
+                 num_heads=(2,) * 4, window_size=8, mlp_ratio=2.0,
+                 drop_path_rate=0.0, upscale=2, upsampler="pixelshuffle")
+    rng = np.random.default_rng(21)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3)))["params"]
+    train_opt = {
+        "optim_g": {"type": "Adam", "lr": 2e-4, "betas": [0.9, 0.99]},
+        "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                      "gamma": 0.5},
+        "total_iter": 200,
+        "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        "ema_decay": 0.999,
+    }
+    tx, _ = build_optimizer(train_opt)
+    ref_step = jax.jit(make_sr_train_step(net, tx, train_opt))
+    ref_state = init_train_state(params, tx, ema_decay=0.999)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pipe",))
+    pp_params = init_pp_params(net, params, mesh)
+    pp_state = jax.jit(lambda p: init_train_state(p, tx, ema_decay=0.999))(
+        pp_params)
+    pp_step = jax.jit(make_pp_train_step(net, tx, train_opt, mesh,
+                                         microbatches=4))
+    for i in range(3):
+        batch = {"lq": jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32),
+                 "gt": jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)}
+        key = jax.random.PRNGKey(i)
+        ref_state, ref_logs = ref_step(ref_state, batch, key)
+        pp_state, pp_logs = pp_step(pp_state, batch, key)
+        np.testing.assert_allclose(float(pp_logs["l_pix"]),
+                                   float(ref_logs["l_pix"]), rtol=1e-5)
+    merged = merge_pp_params(net, jax.device_get(pp_state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        jax.device_get(ref_state.params), merged)
+
+
+def test_tp_pp_composed_train_step_matches_plain():
+    """TP x PP (r5): mesh {pipe: 2, model: 2} — stage params sharded
+    (pipe, ..., model), GSPMD carries the Megatron collectives inside each
+    pipeline tick (pipeline_apply keeps 'model' automatic). Losses and
+    merged post-step params track the plain step; TP'd leaves are
+    genuinely sharded over 'model'."""
+    from super_resolution_tpu.models.hat_classic_arch import HATClassic
+    from super_resolution_tpu.parallel.pipeline import (
+        init_pp_params, make_pp_train_step, merge_pp_params)
+    from super_resolution_tpu.runtime.train_loop import (
+        build_optimizer, init_train_state, make_sr_train_step)
+
+    net = HATClassic(img_size=16, embed_dim=16, depths=(1,) * 4,
+                     num_heads=(2,) * 4, window_size=8, compress_ratio=4,
+                     squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
+                     mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
+    rng = np.random.default_rng(23)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3)))["params"]
+    train_opt = {
+        "optim_g": {"type": "Adam", "lr": 2e-4, "betas": [0.9, 0.99]},
+        "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                      "gamma": 0.5},
+        "total_iter": 200,
+        "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        "ema_decay": 0.999,
+    }
+    tx, _ = build_optimizer(train_opt)
+    ref_step = jax.jit(make_sr_train_step(net, tx, train_opt))
+    ref_state = init_train_state(params, tx, ema_decay=0.999)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("pipe", "model"))
+    pp_params = init_pp_params(net, params, mesh, tp_axis="model")
+    # the Megatron rules actually fired: some stage leaf carries 'model'
+    specs = {leaf.sharding.spec
+             for leaf in jax.tree.leaves(pp_params["stages"])}
+    assert any("model" in (s or ()) for spec in specs for s in spec), specs
+    pp_state = jax.jit(lambda p: init_train_state(p, tx, ema_decay=0.999))(
+        pp_params)
+    pp_step = jax.jit(make_pp_train_step(net, tx, train_opt, mesh,
+                                         microbatches=2))
+    for i in range(3):
+        batch = {"lq": jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32),
+                 "gt": jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)}
+        key = jax.random.PRNGKey(i)
+        ref_state, ref_logs = ref_step(ref_state, batch, key)
+        pp_state, pp_logs = pp_step(pp_state, batch, key)
+        np.testing.assert_allclose(float(pp_logs["l_pix"]),
+                                   float(ref_logs["l_pix"]), rtol=1e-5)
+    merged = merge_pp_params(net, jax.device_get(pp_state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        jax.device_get(ref_state.params), merged)
