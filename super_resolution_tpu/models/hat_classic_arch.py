@@ -293,6 +293,20 @@ class HABClassic(nn.Module):
                     proj_p["kernel"], proj_p["bias"], bias, mask_arr,
                     heads=self.num_heads, window_size=ws,
                     mesh=tp_ctx[0], axis=tp_ctx[1], scale=d ** -0.5)
+            elif ss > 0 and ws % ss == 0:
+                # shift folded into the kernel's window gather: the
+                # roll-in above is dead code XLA removes; only the thin
+                # wrap strips are built (r5 — the full-image roll was
+                # 9.5% of the HD step, scripts/profile_hd_trace.py).
+                # Output stays in rolled space: mask and roll-back below
+                # are unchanged.
+                from super_resolution_tpu.ops.pallas_attention import \
+                    fused_msa_block_shifted_ad
+
+                shifted = fused_msa_block_shifted_ad(
+                    x, qkv_p["kernel"], qkv_p["bias"],
+                    proj_p["kernel"], proj_p["bias"], bias, mask_arr,
+                    self.num_heads, ws, ss, d ** -0.5)
             else:
                 shifted = fused_msa_block_ad(
                     shifted, qkv_p["kernel"], qkv_p["bias"],
@@ -322,8 +336,8 @@ class HABClassic(nn.Module):
             # (parallel/tp_ffn.py)
             np2 = self.norm2.variables["params"]
             mp = self.mlp
-            sum3_args = (
-                shortcut, attn_x, conv_x, np2["scale"], np2["bias"],
+            tail_w = (
+                np2["scale"], np2["bias"],
                 mp.fc1.variables["params"]["kernel"],
                 mp.fc1.variables["params"]["bias"],
                 mp.fc2.variables["params"]["kernel"],
@@ -333,9 +347,22 @@ class HABClassic(nn.Module):
                     hidden_parallel_mlp_sum3
 
                 return hidden_parallel_mlp_sum3(
-                    *sum3_args, conv_scale=float(self.conv_scale),
+                    shortcut, attn_x, conv_x, *tail_w,
+                    conv_scale=float(self.conv_scale),
                     mesh=tp_ffn[0], axis=tp_ffn[1])
-            return mlp_block_sum3_ad(*sum3_args, float(self.conv_scale))
+            if ss > 0:
+                # roll-back folded into the sum3 gather: `shifted` is the
+                # attention output still in rolled space; the attn_x roll
+                # above is dead code XLA removes (r5 — the pair of
+                # full-image rolls was 9.5% of the HD step)
+                from super_resolution_tpu.ops.pallas_ffn import \
+                    mlp_block_sum3_shifted_ad
+
+                return mlp_block_sum3_shifted_ad(
+                    shortcut, shifted, conv_x, *tail_w,
+                    float(self.conv_scale), ss)
+            return mlp_block_sum3_ad(shortcut, attn_x, conv_x, *tail_w,
+                                     float(self.conv_scale))
         x = shortcut + attn_x + conv_x * self.conv_scale
         fused = _fused_mlp_tail(
             self, x, deterministic or self.drop_path_rate == 0)

@@ -76,10 +76,22 @@ class SwinTransformerBlock(nn.Module):
                         else jnp.zeros((1, n, n), jnp.float32))
             qkv_p = at.qkv.variables["params"]
             proj_p = at.proj.variables["params"]
-            shifted = fused_msa_block_ad(
-                shifted, qkv_p["kernel"], qkv_p["bias"], proj_p["kernel"],
-                proj_p["bias"], bias, mask_arr, self.num_heads, ws,
-                d ** -0.5)
+            if ss > 0 and ws % ss == 0:
+                # shift folded into the kernel's window gather; the
+                # roll-in above is dead code XLA removes (r5 — see
+                # fused_msa_block_shifted)
+                from super_resolution_tpu.ops.pallas_attention import \
+                    fused_msa_block_shifted_ad
+
+                shifted = fused_msa_block_shifted_ad(
+                    x, qkv_p["kernel"], qkv_p["bias"], proj_p["kernel"],
+                    proj_p["bias"], bias, mask_arr, self.num_heads, ws,
+                    ss, d ** -0.5)
+            else:
+                shifted = fused_msa_block_ad(
+                    shifted, qkv_p["kernel"], qkv_p["bias"],
+                    proj_p["kernel"], proj_p["bias"], bias, mask_arr,
+                    self.num_heads, ws, d ** -0.5)
         else:
             x_windows = window_partition(shifted, ws).reshape(-1, ws * ws, c)
             attn_windows = self.attn(x_windows, mask=mask)

@@ -804,13 +804,13 @@ def _ocab_scaled_bwd(heads, window_size, overlap_win, scale, residual_scale,
 fused_ocab_block_scaled_ad.defvjp(_ocab_scaled_fwd, _ocab_scaled_bwd)
 
 
-def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                      bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
-                      scale: float, wb: int):
-    # c_loc < c_in when the caller runs a head slice (tensor-parallel
-    # attention, parallel/tp_attention.py): w_qkv is (c_in, 3*c_loc) with
-    # `heads` local heads, w_proj (c_loc, c_out) a row-parallel partial
-    c_in = x_ref.shape[-1]
+def _msa_block_core(xblk, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                    bias_ref, mask_ref, out_dtype, *, heads: int, ws: int,
+                    scale: float, wb: int):
+    """Shared VMEM body of the fused MSA block kernels: qkv projection,
+    per-window attention with RPB (+mask), output projection. xblk is the
+    (ws, wb*ws, c_in) window block (already gathered/assembled)."""
+    c_in = xblk.shape[-1]
     c_loc = wqkv_ref.shape[-1] // 3
     c_out = wproj_ref.shape[-1]
     d = c_loc // heads
@@ -818,7 +818,7 @@ def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     # wb adjacent windows per program: the qkv/proj matmuls run once over
     # all wb windows (M = wb*N rows feeds the MXU better than N=256), the
     # attention middle loops per window
-    x = x_ref[0].reshape(wb * n, c_in)
+    x = xblk.reshape(wb * n, c_in)
     # qkv projection on the MXU, f32 accumulate, bf16 operands
     qkv = jax.lax.dot_general(
         x, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -853,7 +853,43 @@ def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         o, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o = o + bproj_ref[0].astype(jnp.float32)
-    o_ref[0] = o.reshape(ws, wb * ws, c_out).astype(o_ref.dtype)
+    return o.reshape(ws, wb * ws, c_out).astype(out_dtype)
+
+
+def _msa_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                      bias_ref, mask_ref, o_ref, *, heads: int, ws: int,
+                      scale: float, wb: int):
+    # c_loc < c_in when the caller runs a head slice (tensor-parallel
+    # attention, parallel/tp_attention.py): w_qkv is (c_in, 3*c_loc) with
+    # `heads` local heads, w_proj (c_loc, c_out) a row-parallel partial
+    o_ref[0] = _msa_block_core(
+        x_ref[0], wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+        mask_ref, o_ref.dtype, heads=heads, ws=ws, scale=scale, wb=wb)
+
+
+def _msa_block_shifted_kernel(x_ref, sh_ref, sw_ref, wqkv_ref, bqkv_ref,
+                              wproj_ref, bproj_ref, bias_ref, mask_ref,
+                              o_ref, *, heads: int, ws: int, scale: float,
+                              wb: int, ss: int, nwy: int, nwxb: int):
+    """Shift-folded variant: the cyclic (-ss, -ss) roll happens in the
+    gather. The main read arrives at element origin (i*ws+ss, j*wb*ws+ss)
+    (clamped in-bounds); the two thin wrap strips supply the cyclic
+    content for the last window row / column, assembled in VMEM."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    xb = x_ref[0]                        # (ws, wb*ws, c) clamped main read
+    sh = sh_ref[0]                       # (ws, wb*ws, c) bottom wrap strip
+    sw = sw_ref[0]                       # (ws, 2*ss, c)  right wrap rows
+    # last column block: clamped origin is ss left of the true one — the
+    # first wb*ws-ss cols sit at xb[:, ss:], the wrapped tail (image cols
+    # [0, ss)) lives in the strip's second half
+    wrap_j = jnp.concatenate([xb[:, ss:], sw[:, ss:]], axis=1)
+    blk = jnp.where(j == nwxb - 1, wrap_j, xb)
+    # last row block: the strip is pre-assembled with both wraps applied
+    blk = jnp.where(i == nwy - 1, sh, blk)
+    o_ref[0] = _msa_block_core(
+        blk, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+        mask_ref, o_ref.dtype, heads=heads, ws=ws, scale=scale, wb=wb)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window_size",
@@ -951,6 +987,155 @@ def msa_block_reference(x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask,
     out = msa_attention_reference(qkv_img, bias, mask, heads, window_size,
                                   scale)
     return out @ w_proj.astype(out.dtype) + b_proj.astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window_size",
+                                             "shift", "scale",
+                                             "window_block", "interpret"))
+def fused_msa_block_shifted(x_img, w_qkv, b_qkv, w_proj, b_proj, bias,
+                            mask, *, heads: int, window_size: int,
+                            shift: int, scale: float | None = None,
+                            window_block: int = 0,
+                            interpret: bool | None = None):
+    """fused_msa_block with the SW-MSA cyclic pre-shift folded into the
+    window gather: numerically identical to
+    ``fused_msa_block(jnp.roll(x_img, (-shift, -shift), (1, 2)), ...)``
+    (output stays in ROLLED space; the caller's +shift roll-back and the
+    rolled-space shift mask are unchanged).
+
+    Why: the full-image roll is two HBM round trips of the whole feature
+    map per shifted block and measured 9.5% of the HD step (178 ms/step
+    across 18 shifted blocks at 8x720x224x180 — r5 xplane trace,
+    scripts/profile_hd_trace.py; jnp.roll lowers to slice+concat that
+    runs far below copy bandwidth at C=180). Here the kernel reads the
+    UNSHIFTED image at element origins (i*ws+shift, j*wb*ws+shift) —
+    interior windows need no data movement at all — and the two cyclic
+    boundary window rows/cols assemble from thin wrap strips
+    (~ws/H of the image to build) in VMEM. The kernel is compute-bound
+    (~21 TFLOP/s effective on the qkv/attn/proj matmuls), so the extra
+    strip DMA per program is noise.
+
+    Replaces: torch.roll in the reference's SW-MSA
+    (swinir_arch.py:95-192 pattern; fork hat_arch.py HAB shift) — the
+    roll-in leg only.
+    """
+    b, h_img, w_img, c = x_img.shape
+    ws, ss = window_size, shift
+    assert 0 < ss < ws and ws % ss == 0, (ss, ws)
+    c_loc = w_qkv.shape[1] // 3
+    c_out = w_proj.shape[1]
+    d = c_loc // heads
+    if scale is None:
+        scale = d ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nwy, nwx = h_img // ws, w_img // ws
+    n = ws * ws
+    masked = mask.shape[0] != 1
+    wb = window_block if window_block else _DEFAULT_MSA_WB
+    while wb > 1 and nwx % wb:
+        wb -= 1
+    nwxb = nwx // wb
+    b_qkv2 = b_qkv.reshape(1, 3 * c_loc)
+    b_proj2 = b_proj.reshape(1, c_out)
+    mask_blk = mask if masked else jnp.zeros((wb, n, n), jnp.float32)
+
+    # bottom wrap strip: the last shifted window row covers image rows
+    # [H-ws+ss, H) ++ [0, ss); extend its columns by ss so every column
+    # origin reads in-bounds (both wraps pre-applied)
+    strip_h = jnp.concatenate([x_img[:, h_img - ws + ss:], x_img[:, :ss]],
+                              axis=1)
+    strip_h = jnp.concatenate([strip_h, strip_h[:, :, :ss]], axis=2)
+    # right wrap strip rows: image cols [W-ss, W) ++ [0, ss) at every row
+    strip_w = jnp.concatenate([x_img[:, :, w_img - ss:], x_img[:, :, :ss]],
+                              axis=2)
+
+    grid = (b, nwy, nwxb)
+    # every candidate origin is a multiple of ss; factoring the min as
+    # ss * min(...) keeps the tiling-divisibility proof structural for
+    # Mosaic (a bare jnp.minimum over the sum is rejected: "couldn't
+    # prove that tiling divides index")
+    assert (h_img - ws) % ss == 0 and (w_img - wb * ws) % ss == 0
+    row0 = lambda i, _q=ws // ss, _m=(h_img - ws) // ss: (  # noqa: E731
+        ss * jnp.minimum(i * _q + 1, _m))
+    col0 = lambda j, _q=wb * ws // ss, _m=(w_img - wb * ws) // ss: (  # noqa: E731
+        ss * jnp.minimum(j * _q + 1, _m))
+    out = pl.pallas_call(
+        functools.partial(_msa_block_shifted_kernel, heads=heads, ws=ws,
+                          scale=scale, wb=wb, ss=ss, nwy=nwy, nwxb=nwxb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(ws),
+                          pl.Element(wb * ws), pl.Element(c)),
+                         lambda bb, i, j: (bb, row0(i), col0(j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(1), pl.Element(ws),
+                          pl.Element(wb * ws), pl.Element(c)),
+                         lambda bb, i, j, _q=wb * ws // ss: (
+                             bb, 0, ss * (j * _q + 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(1), pl.Element(ws),
+                          pl.Element(2 * ss), pl.Element(c)),
+                         lambda bb, i, j: (bb, row0(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c_loc), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c_loc), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_loc, c_out), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda bb, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda bb, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, n, n),
+                         (lambda bb, i, j, _x=nwx, _w=wb:
+                          (i * (_x // _w) + j, 0, 0))
+                         if masked else (lambda bb, i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, wb * ws, c_out),
+                               lambda bb, i, j: (bb, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c_out),
+                                       x_img.dtype),
+        interpret=interpret,
+    )(x_img, strip_h, strip_w, w_qkv, b_qkv2, w_proj, b_proj2, bias,
+      mask_blk)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_msa_block_shifted_ad(x_img, w_qkv, b_qkv, w_proj, b_proj, bias,
+                               mask, heads, window_size, shift, scale):
+    """Shift-folded fused MSA block forward, XLA backward (the backward
+    differentiates the roll + reference composition, so the cotangent of
+    the un-rolled input comes out of jnp.roll's own transpose)."""
+    return fused_msa_block_shifted(
+        x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, heads=heads,
+        window_size=window_size, shift=shift, scale=scale)
+
+
+def _msa_block_shifted_ad_fwd(x_img, w_qkv, b_qkv, w_proj, b_proj, bias,
+                              mask, heads, window_size, shift, scale):
+    out = fused_msa_block_shifted(
+        x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask, heads=heads,
+        window_size=window_size, shift=shift, scale=scale)
+    return out, (x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask)
+
+
+def _msa_block_shifted_ad_bwd(heads, window_size, shift, scale, res, g):
+    x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c_, d_, e_, f_, m_: msa_block_reference(
+            jnp.roll(a, (-shift, -shift), axis=(1, 2)), b_, c_, d_, e_,
+            f_, m_, heads, window_size, scale),
+        x_img, w_qkv, b_qkv, w_proj, b_proj, bias, mask)
+    return vjp(g.astype(x_img.dtype))
+
+
+fused_msa_block_shifted_ad.defvjp(_msa_block_shifted_ad_fwd,
+                                  _msa_block_shifted_ad_bwd)
 
 
 def attention_window_supported(nq: int, nk: int | None = None) -> bool:

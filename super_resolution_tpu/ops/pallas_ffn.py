@@ -435,6 +435,34 @@ def _mlp_sum3_kernel(s_ref, a_ref, cv_ref, gam_ref, bet_ref, w1_ref, b1_ref,
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
+def _mlp_sum3_shifted_kernel(s_ref, a_ref, astrip_ref, cv_ref, gam_ref,
+                             bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                             *, eps: float, cs: float, ss: int,
+                             residual_scale: float = 1.0):
+    """sum3 kernel whose attn input arrives in ROLLED space: the (+ss, +ss)
+    roll-back is folded into the gather (rows via the element-indexed
+    origin, cols via an in-VMEM rotation) — see mlp_block_sum3_shifted."""
+    i = pl.program_id(1)
+    a = a_ref[0]            # (th, w, c) rolled rows at origin ss*max(iq-1,0)
+    strip = astrip_ref[0]   # (ss, w, c) rolled rows h-ss..h-1 (true content)
+    th = a.shape[0]
+    # tile 0's clamped read starts at rolled row 0; real rows [0, ss) wrap
+    # to the strip, the rest shift down by ss
+    top = (strip if th == ss
+           else jnp.concatenate([strip, a[:th - ss]], axis=0))
+    a = jnp.where(i == 0, top, a)
+    # column roll-back: real col k = rolled col (k - ss) mod W
+    w_ = a.shape[1]
+    a = jnp.concatenate([a[:, w_ - ss:], a[:, :w_ - ss]], axis=1)
+    c = s_ref.shape[-1]
+    xf = (s_ref[0].reshape(-1, c).astype(jnp.float32)
+          + a.reshape(-1, c).astype(jnp.float32)
+          + cv_ref[0].reshape(-1, c).astype(jnp.float32) * cs)
+    out = _mlp_tail_math(xf, s_ref.dtype, gam_ref, bet_ref, w1_ref, b1_ref,
+                         w2_ref, b2_ref, eps, residual_scale)
+    o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("conv_scale", "eps",
                                              "tile_rows", "interpret",
                                              "residual_scale"))
@@ -493,6 +521,116 @@ def mlp_block_sum3(shortcut, attn_x, conv_x, gamma, beta, w1, b1, w2, b2, *,
     )(shortcut, attn_x, conv_x, gamma.reshape(1, c), beta.reshape(1, c),
       w1, b1.reshape(1, hid), w2, b2.reshape(1, c))
     return out[:, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("conv_scale", "shift", "eps",
+                                             "tile_rows", "interpret",
+                                             "residual_scale"))
+def mlp_block_sum3_shifted(shortcut, attn_rolled, conv_x, gamma, beta, w1,
+                           b1, w2, b2, *, conv_scale: float, shift: int,
+                           eps: float = 1e-5, tile_rows: int = 0,
+                           interpret: bool | None = None,
+                           residual_scale: float = 1.0):
+    """mlp_block_sum3 whose attn input is still in SW-MSA ROLLED space:
+    numerically identical to
+    ``mlp_block_sum3(shortcut, jnp.roll(attn_rolled, (shift, shift),
+    (1, 2)), conv_x, ...)``.
+
+    Together with fused_msa_block_shifted (ops/pallas_attention.py) this
+    removes BOTH full-image rolls of every shifted block: the roll-back's
+    row shift becomes an element-indexed read origin (one thin strip
+    supplies the wrapped top rows), and the column shift is an in-VMEM
+    rotation of each full-width row tile. The r5 xplane trace measured
+    the two rolls at 9.5% of the HD step (178 ms at 8x720x224x180).
+    """
+    b, h, w, c = shortcut.shape
+    hid = w1.shape[1]
+    ss = shift
+    assert 0 < ss < h
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th = tile_rows or _mlp_auto_rows(w, c, hid)
+    # row origins are ss * max(i*(th//ss) - 1, 0): keeping th a multiple
+    # of ss makes the tiling-divisibility proof structural for Mosaic
+    th = max(ss, th - th % ss)
+    q = th // ss
+    strip = attn_rolled[:, h - ss:h]
+    pad_r = (-h) % th
+    if pad_r:
+        pads = ((0, 0), (0, pad_r), (0, 0), (0, 0))
+        shortcut = jnp.pad(shortcut, pads)
+        attn_rolled = jnp.pad(attn_rolled, pads)
+        conv_x = jnp.pad(conv_x, pads)
+    hp = shortcut.shape[1]
+
+    grid = (b, hp // th)
+    img = pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b_, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_sum3_shifted_kernel, eps=eps, cs=conv_scale,
+                          ss=ss, residual_scale=residual_scale),
+        grid=grid,
+        in_specs=[
+            img,
+            pl.BlockSpec((pl.Element(1), pl.Element(th), pl.Element(w),
+                          pl.Element(c)),
+                         lambda b_, i, _q=q: (
+                             b_, ss * jnp.maximum(i * _q - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(1), pl.Element(ss), pl.Element(w),
+                          pl.Element(c)),
+                         lambda b_, i: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            img,
+            vec(c), vec(c),
+            pl.BlockSpec((c, hid), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(hid),
+            pl.BlockSpec((hid, c), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(c),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), shortcut.dtype),
+        interpret=interpret,
+    )(shortcut, attn_rolled, strip, conv_x, gamma.reshape(1, c),
+      beta.reshape(1, c), w1, b1.reshape(1, hid), w2, b2.reshape(1, c))
+    return out[:, :h]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def mlp_block_sum3_shifted_ad(shortcut, attn_rolled, conv_x, gamma, beta,
+                              w1, b1, w2, b2, conv_scale, shift):
+    """Shift-folded sum3 forward, XLA backward (differentiates the
+    roll + reference composition)."""
+    return mlp_block_sum3_shifted(shortcut, attn_rolled, conv_x, gamma,
+                                  beta, w1, b1, w2, b2,
+                                  conv_scale=conv_scale, shift=shift)
+
+
+def _sum3_shifted_ad_fwd(shortcut, attn_rolled, conv_x, gamma, beta, w1,
+                         b1, w2, b2, conv_scale, shift):
+    out = mlp_block_sum3_shifted(shortcut, attn_rolled, conv_x, gamma,
+                                 beta, w1, b1, w2, b2,
+                                 conv_scale=conv_scale, shift=shift)
+    return out, (shortcut, attn_rolled, conv_x, gamma, beta, w1, b1, w2, b2)
+
+
+def _sum3_shifted_ad_bwd(conv_scale, shift, res, g):
+    shortcut, attn_rolled, conv_x, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda s_, a_, cv_, g_, be_, w1_, b1_, w2_, b2_:
+        mlp_block_sum3_reference(
+            s_, jnp.roll(a_, (shift, shift), axis=(1, 2)), cv_, g_, be_,
+            w1_, b1_, w2_, b2_, conv_scale),
+        shortcut, attn_rolled, conv_x, gamma, beta, w1, b1, w2, b2)
+    return vjp(g.astype(shortcut.dtype))
+
+
+mlp_block_sum3_shifted_ad.defvjp(_sum3_shifted_ad_fwd, _sum3_shifted_ad_bwd)
 
 
 def mlp_block_sum3_reference(shortcut, attn_x, conv_x, gamma, beta, w1, b1,

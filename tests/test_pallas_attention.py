@@ -437,3 +437,60 @@ def test_esc_large_window_routes_qtile(rng, monkeypatch):
     got = np.asarray(m_p.apply({"params": params}, x))
     assert calls.get("hit"), "q-tile kernel was not routed"
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_msa_block_shifted_matches_rolled(rng):
+    """r5: SW-MSA shift folded into the kernel's window gather
+    (fused_msa_block_shifted) is bit-identical to rolling the image and
+    running fused_msa_block — including the cyclic boundary windows
+    assembled from the wrap strips, degenerate single-window grids, and
+    gradients through the _ad wrapper."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.ops.attention import shift_attn_mask_jnp
+    from super_resolution_tpu.ops.pallas_attention import (
+        fused_msa_block, fused_msa_block_shifted, fused_msa_block_shifted_ad,
+        msa_block_reference)
+
+    for (b, h, w, c, heads, ws, ss, wb) in [
+            (2, 48, 64, 12, 2, 8, 4, 1),
+            (1, 32, 32, 8, 2, 8, 4, 2),
+            (2, 64, 48, 16, 4, 16, 8, 1),
+            (1, 16, 16, 8, 2, 8, 4, 1),   # single window row/col
+            (1, 24, 40, 8, 2, 8, 2, 1),   # ss != ws//2
+    ]:
+        x = jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
+        wqkv = jnp.asarray(rng.normal(0, .1, (c, 3 * c)), jnp.float32)
+        bqkv = jnp.asarray(rng.normal(0, .1, (3 * c,)), jnp.float32)
+        wproj = jnp.asarray(rng.normal(0, .1, (c, c)), jnp.float32)
+        bproj = jnp.asarray(rng.normal(0, .1, (c,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(0, .1, (heads, ws * ws, ws * ws)),
+                           jnp.float32)
+        mask = shift_attn_mask_jnp(h, w, ws, ss).astype(jnp.float32)
+        want = fused_msa_block(jnp.roll(x, (-ss, -ss), axis=(1, 2)),
+                               wqkv, bqkv, wproj, bproj, bias, mask,
+                               heads=heads, window_size=ws,
+                               window_block=wb, interpret=True)
+        got = fused_msa_block_shifted(
+            x, wqkv, bqkv, wproj, bproj, bias, mask, heads=heads,
+            window_size=ws, shift=ss, window_block=wb, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # gradient parity through the _ad wrapper vs the rolled XLA reference
+    b, h, w, c, heads, ws, ss = 1, 16, 24, 8, 2, 8, 4
+    x = jnp.asarray(rng.random((b, h, w, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(0, .1, (c, 3 * c)), jnp.float32)
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jnp.asarray(rng.normal(0, .1, (c, c)), jnp.float32)
+    bproj = jnp.zeros((c,))
+    bias = jnp.asarray(rng.normal(0, .1, (heads, ws * ws, ws * ws)),
+                       jnp.float32)
+    mask = shift_attn_mask_jnp(h, w, ws, ss).astype(jnp.float32)
+    g1 = jax.grad(lambda a: jnp.sum(fused_msa_block_shifted_ad(
+        a, wqkv, bqkv, wproj, bproj, bias, mask, heads, ws, ss,
+        None) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(msa_block_reference(
+        jnp.roll(a, (-ss, -ss), axis=(1, 2)), wqkv, bqkv, wproj, bproj,
+        bias, mask, heads, ws) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

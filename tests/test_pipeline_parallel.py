@@ -96,6 +96,7 @@ def test_hat_classic_pipelined_forward_matches_plain():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_plain():
     """GPipe TRAINING: 3 steps of the pipelined train step (4-stage ring,
     reverse-mode through the schedule = GPipe backward with microbatch
@@ -177,6 +178,7 @@ def test_fork_hat_pipelined_forward_matches_plain():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_config_driven_pp_training(tmp_path):
     """YAML `mesh: {pipe: 4}` drives GPipe training through run_train:
     stage params/moments stay sharded over 'pipe', checkpoints round-trip
@@ -259,7 +261,7 @@ def test_hat_classic_pipeline_rejects_ragged_groups():
                      squeeze_factor=8, conv_scale=0.01, overlap_ratio=0.5,
                      mlp_ratio=2.0, drop_path_rate=0.0, upscale=2)
     mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pipe",))
-    with pytest.raises(ValueError, match="identical RHAG"):
+    with pytest.raises(ValueError, match="identical group"):
         hat_classic_pipeline_forward(net, {}, jnp.zeros((2, 16, 16, 3)),
                                      mesh)
 
@@ -303,6 +305,7 @@ def test_generalized_pipelined_forward_matches_plain(arch):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_swinir_pp_train_step_matches_plain():
     """GPipe training parity for SwinIR (VERDICT r4 item 5): pipelined
     losses and merged post-step params track the plain step at ~1e-5."""
@@ -351,6 +354,7 @@ def test_swinir_pp_train_step_matches_plain():
         jax.device_get(ref_state.params), merged)
 
 
+@pytest.mark.slow
 def test_tp_pp_composed_train_step_matches_plain():
     """TP x PP (r5): mesh {pipe: 2, model: 2} — stage params sharded
     (pipe, ..., model), GSPMD carries the Megatron collectives inside each
