@@ -33,6 +33,7 @@ def _pair(**kw):
     return tm, fm, {"params": params}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("upsampler", ["pixelshuffle", "pixelshuffledirect"])
 def test_atd_parity_single_group(rng, upsampler):
     kw = dict(img_size=16, embed_dim=24, depths=[2], num_heads=[2],

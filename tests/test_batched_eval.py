@@ -95,6 +95,7 @@ def test_group_signature_mismatch_raises(rng):
                            tile_pad=4)
 
 
+@pytest.mark.slow
 def test_pipeline_bucketed_eval_matches_per_image(tmp_path):
     """Full test pipeline with val.bucketed_eval reports the same metrics
     as per-image tile mode (bit-identical outputs -> identical PSNR)."""

@@ -4,6 +4,7 @@ self-attention blocks and spectral-norm power iteration."""
 
 import contextlib
 
+import pytest
 import numpy as np
 import torch
 
@@ -91,6 +92,7 @@ def test_deep_unet_discriminator_golden(rng):
     assert np.abs(want).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_deep_unet_discriminator_in_gan_model(tmp_path, rng):
     """The arch slots into the GAN runner via the registry."""
     from test_realesrgan_models import DEG_OPT, _batch

@@ -28,6 +28,7 @@ def _randomize_conv_offsets(tm):
                 p.copy_(torch.randn(p.shape, generator=g) * 0.02)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("with_tsa", [True, False])
 def test_edvr_parity(rng, with_tsa):
     from super_resolution_tpu.models.edvr_arch import EDVR
@@ -51,6 +52,7 @@ def test_edvr_parity(rng, with_tsa):
                                expect.numpy().transpose(0, 2, 3, 1), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_edvr_predeblur_parity(rng):
     from super_resolution_tpu.models.edvr_arch import EDVR
 

@@ -34,6 +34,7 @@ def _flax_esc_with_weights(torch_model):
     return model, {"params": params}
 
 
+@pytest.mark.slow
 def test_esc_forward_parity_batched(torch_esc, rng):
     # reference eval path assumes batch=1 (esc_arch.py:121 reshape); its
     # train path computes the same values with correct batch handling and

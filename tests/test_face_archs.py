@@ -1,6 +1,7 @@
 """Golden parity: HiFaceGAN (generator + multiscale discriminator) and
 DFDNet vs the PyTorch reference (spectral norm in eval semantics)."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -24,6 +25,7 @@ def _randomize_sn_vectors(tm):
     return tm
 
 
+@pytest.mark.slow
 def test_hifacegan_generator_parity(rng):
     from super_resolution_tpu.models.hifacegan_arch import HiFaceGAN
 
@@ -72,6 +74,7 @@ def test_hifacegan_discriminator_parity(rng):
                                        atol=5e-4)
 
 
+@pytest.mark.slow
 def test_dfdnet_parity(rng, tmp_path):
     from super_resolution_tpu.models.dfdnet_arch import DFDNet
 

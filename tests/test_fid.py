@@ -129,6 +129,7 @@ def test_converter_accepts_wrapper_and_raw_layouts():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_calculate_fid_end_to_end(tmp_path):
     """Set-level FID with a random-weight extractor: identical sets -> ~0,
     disjoint noise sets -> positive; loads weights from a torch .pth."""

@@ -1,6 +1,7 @@
 """Train-step smoke + math checks for the StyleGAN2 and HiFaceGAN runners,
 and parity of the path-length regularizer against the reference."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -57,6 +58,7 @@ def test_g_path_regularize_matches_reference(rng):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stylegan2_model_train_smoke(tmp_path):
     from super_resolution_tpu.runtime import build_model
 
@@ -94,6 +96,7 @@ def test_stylegan2_model_train_smoke(tmp_path):
                                        "train_4.png"))
 
 
+@pytest.mark.slow
 def test_hifacegan_model_train_smoke(tmp_path):
     from super_resolution_tpu.runtime import build_model
 

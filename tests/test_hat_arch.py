@@ -30,6 +30,7 @@ def _make_pair(ocab_esc=False, upscale=2, **extra):
     return tm, fm, {"params": params}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("upscale", [2, 4])
 def test_hat_forward_parity(rng, upscale):
     tm, fm, variables = _make_pair(upscale=upscale)

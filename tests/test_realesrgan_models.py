@@ -93,6 +93,7 @@ def _batch(rng, b=2, hw=128):
     return {"gt": gt, "kernel1": k, "kernel2": k, "sinc_kernel": k}
 
 
+@pytest.mark.slow
 def test_realesrgan_model_ldl_training_smoke(tmp_path, rng):
     """The stock type-name resolves; gan_gt_usm defaults ON
     (realesrgan_model.py:197-203); the LDL term trains and logs."""

@@ -42,6 +42,7 @@ def _batch(rng):
             "gt": jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["classic", "fork", "hatx"])
 def test_remat_same_tree_and_matching_gradients(arch, rng):
     """use_checkpoint must not change the checkpoint tree, the init values,
@@ -101,6 +102,7 @@ _OTHER = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", sorted(_OTHER))
 def test_remat_other_archs_same_tree_and_gradients(arch, rng):
     """SwinIR/SRFormer/HiT-SRF/ATD carry the same per-group remat."""
@@ -150,6 +152,7 @@ def test_build_network_honors_use_checkpoint():
     assert not hasattr(net2, "use_checkpoint")
 
 
+@pytest.mark.slow
 def test_amp_step_trains_and_keeps_f32_masters(rng):
     """use_amp: activations bf16, loss/grads/params f32; loss tracks the
     f32 step closely on the first iteration and decreases over steps."""

@@ -72,6 +72,7 @@ def test_tp_forward_matches_single_device(net_and_params):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_train_step_matches_unsharded(net_and_params):
     from super_resolution_tpu.runtime.train_loop import (build_optimizer,
                                                          init_train_state,

@@ -117,6 +117,7 @@ def test_hat_classic_tp_forward_fused_route(rng, monkeypatch):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hat_classic_tp_train_step_fused_route(rng, monkeypatch):
     """One TP train step with the fused path ON matches the unsharded f32
     step (loss + stepped params)."""

@@ -139,6 +139,7 @@ def test_hat_classic_tp_both_fused_routes(rng, monkeypatch):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hat_classic_tp_train_step_both_fused_routes(rng, monkeypatch):
     """One TP train step with both fused compositions ON matches the
     unsharded f32 step (loss + stepped params)."""

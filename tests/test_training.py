@@ -146,6 +146,7 @@ def test_train_step_loss_decreases(rng):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_train_step_dp_mesh_matches_single_device(rng):
     """Data-parallel over the 8-device CPU mesh == single-device numerics."""
     from super_resolution_tpu.models.esc_arch import ESC

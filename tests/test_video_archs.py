@@ -1,6 +1,7 @@
 """Golden parity: BasicVSR / IconVSR / TOFlow / BasicVSR++ / DUF vs the
 PyTorch reference (DCN paths run on the naive oracle stub)."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -53,6 +54,7 @@ def test_basicvsr_parity(rng):
     _run_both(tm, fm, x)
 
 
+@pytest.mark.slow
 def test_iconvsr_parity(rng):
     from super_resolution_tpu.models.basicvsr_arch import IconVSR
 
@@ -80,6 +82,7 @@ def test_toflow_parity(rng):
         _run_both(tm, fm, x, atol=5e-4, video_out=False)
 
 
+@pytest.mark.slow
 def test_basicvsrpp_parity(rng):
     from super_resolution_tpu.models.basicvsrpp_arch import BasicVSRPlusPlus
 

@@ -106,6 +106,7 @@ def test_reds_recurrent_dataset(tmp_path):
     np.testing.assert_allclose(item["gt"][:, ::2, ::2], item["lq"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_video_recurrent_model_train_and_val(tmp_path):
     """BasicVSR runner: one train step + whole-clip validation."""
     from super_resolution_tpu.data.video_datasets import \
@@ -147,6 +148,7 @@ def test_video_recurrent_model_train_and_val(tmp_path):
     assert (model.metric_results["000"] > 0).all()
 
 
+@pytest.mark.slow
 def test_edvr_model_train_smoke(tmp_path):
     from super_resolution_tpu.runtime import build_model
 
