@@ -78,6 +78,9 @@ HEADLINE_HISTORY = {
     "r2": {"value": 6.77, "urban100_batched_value": None},
     "r3": {"value": 7.848, "urban100_batched_value": 10.866},
     "r4": "driver bench timed out (rc 124) — no numbers captured",
+    # builder-measured after the r5 roll-free shifted-window fold
+    # (commit 748b332): the in-round record if the driver leg regresses.
+    "r5_builder": {"value": 8.52, "urban100_batched_value": 11.80},
 }
 
 _T0 = time.time()
